@@ -1,0 +1,182 @@
+"""Arrow-vectorized extraction UDF — the engine's one Python hot path.
+
+The reference's extensibility surface is a WASM component with contract
+``extract(html, url, mode) -> result<extracted-content, extraction-error>``
+(``/root/reference/wasm/riptide-extractor-wasm/wit/extractor.wit:117-145``),
+invoked once per document from a host pool. The Spark-first equivalent is a
+single scalar pandas UDF over Arrow batches: the per-document loop lives
+*inside* the vectorized UDF, exactly like the reference loops inside one WASM
+call per document — but the batch crosses the JVM↔Python boundary once per
+``maxRecordsPerBatch`` rows instead of once per row.
+
+Error isolation: a bad row never kills the task (at 10^12 documents, row
+failures are certain) — failures land in the ``error`` column with null
+fields, mirroring the reference's per-URL error envelope
+(``crates/riptide-api/src/pipeline.rs:525-557``).
+
+The parser is imported at module level so each reused Python worker pays
+import cost once (the analog of the reference's WASM instance pool + AOT
+cache, ``wasm_extraction.rs:361-389``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions import chunking
+from ..functions.extract import ExtractionInvalid, extract_document
+from ..schema import EXTRACTED_STRUCT
+
+_EMPTY = {
+    "title": None,
+    "byline": None,
+    "published_iso": None,
+    "extracted_text": None,
+    "markdown": None,
+    "links": None,
+    "media": None,
+    "language": None,
+    "reading_time": None,
+    "quality_score": None,
+    "word_count": None,
+    "categories": None,
+    "site_name": None,
+    "description": None,
+    "spans": None,
+    "escalated": False,
+}
+
+
+def _decode_lossy(html) -> str:
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        return bytes(html).decode("utf-8", errors="replace")
+    return str(html)
+
+
+def _pdf_row(url: str, html: bytes) -> dict:
+    """PDF branch (S7/E18). pdfium isn't in this container; if pypdf is
+    importable we parse, else we emit the reference's documented fallback doc
+    (``pipeline.rs:744-765``): quality 20, categories [pdf, error]."""
+    try:
+        import io
+
+        from pypdf import PdfReader  # pragma: no cover - not in sandbox image
+
+        reader = PdfReader(io.BytesIO(html))
+        pages = [page.extract_text() or "" for page in reader.pages]
+        text = "\n".join(pages)
+        words = len(text.split())
+        row = dict(_EMPTY)
+        row.update(
+            extracted_text=text,
+            markdown="",
+            word_count=words,
+            reading_time=max(1, -(-words // 250)) if words else None,
+            quality_score=85,
+            categories=["document", "pdf"],
+            links=[],
+            media=[f"pdf:image:{i}" for i in range(len(reader.pages))],
+            spans=chunking.spans_for_text(text),
+        )
+        return {**row, "error": None}
+    except Exception:
+        row = dict(_EMPTY)
+        row.update(
+            extracted_text="",
+            markdown="",
+            quality_score=20,
+            categories=["pdf", "error"],
+            links=[],
+            media=[],
+            description="Failed to process PDF document",
+        )
+        return {**row, "error": None}
+
+
+def _needs_escalation(doc: dict) -> bool:
+    """Probe-first escalation rule (engine_selection.rs:450-469)."""
+    quality = doc["quality_score"] or 0
+    words = doc["word_count"] or 0
+    return quality < 30 or words < 50 or (quality < 50 and words < 100)
+
+
+def _extract_one(html, url: str, mode: str) -> dict:
+    if mode == "pdf":
+        return _pdf_row(url, bytes(html) if html is not None else b"")
+    text = _decode_lossy(html)
+    escalated = False
+    try:
+        if mode == "probes_first":
+            # Two-phase probe: fast article pass; if the probe looks weak,
+            # escalate to the full-DOM heuristic pass *row-locally*. Doing
+            # this inside the UDF instead of a second Spark pass avoids a
+            # url-keyed shuffle/join at 10^12-row scale — escalation depends
+            # only on row-local data, so there is nothing to co-locate.
+            doc = extract_document(text, url, "article")
+            if _needs_escalation(doc):
+                doc = extract_document(text, url, "full")
+                escalated = True
+        else:
+            doc = extract_document(text, url, mode)
+    except ExtractionInvalid as exc:
+        return {**_EMPTY, "error": f"invalid-html: {exc}"}
+    except Exception as exc:  # never kill the task for one row
+        return {**_EMPTY, "error": f"internal: {type(exc).__name__}: {exc}"}
+    return {
+        "escalated": escalated,
+        "title": doc["title"],
+        "byline": doc["byline"],
+        "published_iso": doc["published_iso"],
+        "extracted_text": doc["text"],
+        "markdown": doc["markdown"],
+        "links": doc["links"],
+        "media": doc["media"],
+        "language": doc["language"],
+        "reading_time": doc["reading_time"],
+        "quality_score": doc["quality_score"],
+        "word_count": doc["word_count"],
+        "categories": doc["categories"],
+        "site_name": doc["site_name"],
+        "description": doc["description"],
+        "spans": chunking.spans_for_text(doc["text"]),
+        "error": None,
+    }
+
+
+@F.pandas_udf(EXTRACTED_STRUCT)
+def extract_udf(html: pd.Series, url: pd.Series, mode: pd.Series) -> pd.DataFrame:
+    """Vectorized extract(html, url, mode) over one Arrow batch.
+
+    ``mode`` is per-row: the gate's routing decision selects the extraction
+    flavor ('article' fast path, 'full' DOM-heuristic path for headless-routed
+    documents, 'metadata', 'pdf').
+    """
+    rows = [_extract_one(h, u, m) for h, u, m in zip(html, url, mode)]
+    return pd.DataFrame(rows, columns=list(EXTRACTED_STRUCT.fieldNames()))
+
+
+def extraction_mode_for_route(content_mode: Column) -> Column:
+    """Map the gate decision to the extraction flavor.
+
+    raw → fast article path; probes_first → probe-then-escalate (handled
+    row-locally inside the UDF); headless → the full-DOM heuristic path (the
+    analog of extracting from a rendered DOM); pdf → pdf.
+    """
+    return (
+        F.when(content_mode == "pdf", F.lit("pdf"))
+        .when(content_mode == "headless", F.lit("full"))
+        .when(content_mode == "probes_first", F.lit("probes_first"))
+        .otherwise(F.lit("article"))
+    )
+
+
+def escalation_predicate(quality: Column, words: Column) -> Column:
+    """Probe-first escalation rule (engine_selection.rs:450-469):
+    quality < 30 ∨ words < 50 ∨ (quality < 50 ∧ words < 100)."""
+    quality = F.coalesce(quality, F.lit(0))
+    words = F.coalesce(words, F.lit(0))
+    return (quality < 30) | (words < 50) | ((quality < 50) & (words < 100))

@@ -1,0 +1,157 @@
+"""The end-to-end extraction job — one declarative DataFrame program.
+
+Spark translation of the reference's ``execute_batch``/``execute_single``
+orchestration (``/root/reference/crates/riptide-api/src/pipeline.rs:231-606``),
+per SURVEY.md §3.1:
+
+    read pages → anti-join(done urls)            # Redis result cache → J1
+              → gate feature/score/route columns # P5-P8, pure codegen
+              → bucketed-hash + salted shuffle   # north-rule partitioning
+              → Arrow extraction UDF             # E1-E15 (+ escalation, PDF)
+              → append output table + manifest   # cache store / S5-S6
+              → per-partition metrics sidecar    # A1-A2
+
+Plan properties worth knowing at 100 TB:
+* the anti-join projects a single string column from the output table —
+  broadcast when small, AQE-planned SMJ when not; skew handled by AQE.
+* gate + routing are whole-stage-codegen expressions; the only Python is the
+  extraction UDF itself, which receives exactly (url, html, mode) after
+  column pruning.
+* probes-first escalation happens row-locally inside the UDF — no second
+  shuffle (see extract_udf.py).
+* one wide shuffle total (the bucket/salt repartition before extraction);
+  everything after is narrow.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract_udf import extract_udf, extraction_mode_for_route
+from ..operators.gate_cols import with_gate
+from ..operators.metrics import partition_metrics
+from ..operators.partitioning import (
+    DEFAULT_BUCKETS,
+    DEFAULT_SALTS,
+    repartition_for_extraction,
+    with_partitioning,
+)
+from ..schema import OUTPUT_COLUMNS
+from ..sources.catalog import TableIO
+
+MAX_CONTENT_BYTES = 20 * 1024 * 1024  # P3, common_validation.rs:79
+
+
+@dataclass
+class ExtractionJobConfig:
+    output_path: str
+    metrics_path: str | None = None
+    buckets: int = DEFAULT_BUCKETS
+    salts: int = DEFAULT_SALTS
+    hot_hosts: list[str] = field(default_factory=list)
+    target_partitions: int | None = None
+    resume: bool = True
+    write_partitioned_by_bucket: bool = True
+
+
+def extraction_plan(pages: DataFrame, config: ExtractionJobConfig) -> DataFrame:
+    """Build the (lazy) extraction DataFrame; no actions triggered."""
+    df = pages
+
+    # P1-P3 as native predicates: drop oversized rows before they ever reach
+    # Python; empty/oversized urls handled in the UDF's error column.
+    df = df.filter(F.octet_length("html") <= MAX_CONTENT_BYTES)
+
+    # Gate (pure codegen) and routing.
+    df = with_gate(df)
+
+    # Bucketed url-hash partitioning with hot-host salting; one wide shuffle.
+    df = with_partitioning(df, buckets=config.buckets, salts=config.salts,
+                           hot_hosts=config.hot_hosts)
+    if config.target_partitions:
+        df = repartition_for_extraction(df, config.target_partitions)
+
+    # The single Python hot path: Arrow-batched extraction.
+    mode = extraction_mode_for_route(F.col("content_mode"))
+    df = df.withColumn("ex", extract_udf(F.col("html"), F.col("url"), mode))
+
+    flat = df.select(
+        "url",
+        F.col("ex.extracted_text").alias("extracted_text"),
+        F.col("ex.title").alias("title"),
+        F.col("ex.spans").alias("spans"),
+        "content_mode",
+        F.col("ex.byline").alias("byline"),
+        F.col("ex.published_iso").alias("published_iso"),
+        F.col("ex.language").alias("language"),
+        F.col("ex.reading_time").alias("reading_time"),
+        F.col("ex.quality_score").alias("quality_score"),
+        F.col("ex.word_count").alias("word_count"),
+        F.col("ex.links").alias("links"),
+        F.col("ex.media").alias("media"),
+        F.col("ex.categories").alias("categories"),
+        F.col("ex.site_name").alias("site_name"),
+        F.col("ex.description").alias("description"),
+        F.col("ex.escalated").alias("escalated"),
+        F.col("ex.error").alias("error"),
+        "url_bucket",
+        "salt",
+    )
+    return flat
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    rows_written: int
+    rows_skipped_resume: int
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    config: ExtractionJobConfig,
+    run_id: str | None = None,
+) -> RunResult:
+    """Execute the job with idempotent resume and metrics sidecar."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    output = TableIO(spark, config.output_path)
+
+    skipped = 0
+    if config.resume and output.exists():
+        done = output.read().select("url")
+        before = pages.count()
+        pages = pages.join(done, "url", "left_anti")
+        remaining = pages.count()
+        skipped = before - remaining
+        if remaining == 0:
+            return RunResult(run_id=run_id, rows_written=0, rows_skipped_resume=skipped)
+
+    result = extraction_plan(pages, config)
+
+    # Materialize the extraction output once and truncate its lineage: it
+    # feeds both the table append and the metrics sidecar, and (on resume)
+    # its plan contains a scan of the output table itself via the anti-join.
+    # Appending to that path invalidates any *cached* plan that reads it —
+    # localCheckpoint severs the dependency so both consumers read the
+    # already-computed rows. (On a cluster, use reliable checkpointing or
+    # write to a staging table instead.)
+    result = result.localCheckpoint(eager=True)
+    rows = result.count()
+    partition_cols = ["url_bucket"] if config.write_partitioned_by_bucket else None
+    output.append(
+        result.select(*OUTPUT_COLUMNS, "url_bucket"),
+        run_id=run_id,
+        partition_by=partition_cols,
+        rows=rows,
+    )
+    if config.metrics_path:
+        metrics = partition_metrics(result, run_id)
+        TableIO(spark, config.metrics_path).append(metrics, run_id=run_id)
+    result.unpersist()
+
+    return RunResult(run_id=run_id, rows_written=rows, rows_skipped_resume=skipped)

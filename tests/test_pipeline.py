@@ -1,0 +1,212 @@
+"""End-to-end extraction job tests: correctness, golden parity through
+Spark, resume idempotency, error isolation, metrics lineage, determinism
+across parallelism levels."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from riptide_spark.plans.pipeline import ExtractionJobConfig, run_extraction_job
+from riptide_spark.schema import PAGES_SCHEMA
+from riptide_spark.sources.catalog import TableIO
+from riptide_spark.sources.pages import pages_dataframe, synth_pages
+
+from .golden_cases import GOLDEN_CASES, load_fixture, load_snapshot, reference_available
+
+N = 150
+SEED = 11
+
+
+def _pages_df(spark, n=N, seed=SEED):
+    rows = synth_pages(n, seed=seed)
+    return spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        PAGES_SCHEMA,
+    )
+
+
+@pytest.fixture(scope="module")
+def job_output(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("job")
+    cfg = ExtractionJobConfig(
+        output_path=str(tmp / "out"),
+        metrics_path=str(tmp / "metrics"),
+        target_partitions=4,
+    )
+    result = run_extraction_job(spark, _pages_df(spark), cfg)
+    return tmp, cfg, result
+
+
+def test_job_writes_all_rows(spark, job_output):
+    tmp, cfg, result = job_output
+    assert result.rows_written == N
+    out = TableIO(spark, cfg.output_path).read()
+    assert out.count() == N
+    assert out.select("url").distinct().count() == N
+
+
+def test_output_schema_has_north_rule_columns(spark, job_output):
+    tmp, cfg, _ = job_output
+    out = TableIO(spark, cfg.output_path).read()
+    for col in ["url", "extracted_text", "title", "spans", "content_mode"]:
+        assert col in out.columns
+
+
+def test_routing_covers_all_branches(spark, job_output):
+    tmp, cfg, _ = job_output
+    out = TableIO(spark, cfg.output_path).read()
+    modes = {r["content_mode"] for r in out.select("content_mode").distinct().collect()}
+    assert {"raw", "probes_first", "headless", "pdf"} <= modes
+
+
+def test_errors_isolated_not_fatal(spark, job_output):
+    tmp, cfg, _ = job_output
+    out = TableIO(spark, cfg.output_path).read()
+    failed = out.filter(F.col("error").isNotNull())
+    assert failed.count() > 0  # corpus contains minimal_invalid docs
+    assert failed.filter(F.col("extracted_text").isNotNull()).count() == 0
+    ok = out.filter(F.col("error").isNull())
+    assert ok.filter(F.col("extracted_text").isNull()).count() == 0
+
+
+def test_resume_is_idempotent(spark, job_output):
+    tmp, cfg, _ = job_output
+    rerun = run_extraction_job(spark, _pages_df(spark), cfg)
+    assert rerun.rows_written == 0
+    assert rerun.rows_skipped_resume == N
+    out = TableIO(spark, cfg.output_path).read()
+    assert out.count() == N  # no duplicates
+
+
+def test_resume_processes_only_new_rows(spark, job_output):
+    tmp, cfg, _ = job_output
+    bigger = _pages_df(spark, n=N + 20)
+    run = run_extraction_job(spark, bigger, cfg)
+    assert run.rows_skipped_resume == N
+    assert run.rows_written == 20
+    out = TableIO(spark, cfg.output_path).read()
+    assert out.count() == N + 20
+    assert out.select("url").distinct().count() == N + 20
+
+
+def test_manifests_committed(spark, job_output):
+    tmp, cfg, _ = job_output
+    manifests = TableIO(spark, cfg.output_path).manifests()
+    assert manifests and all(m.committed for m in manifests)
+
+
+def test_metrics_sidecar_consistent(spark, job_output):
+    tmp, cfg, _ = job_output
+    out = TableIO(spark, cfg.output_path).read()
+    metrics = TableIO(spark, cfg.metrics_path).read()
+    agg = metrics.agg(
+        F.sum("docs_total").alias("t"),
+        F.sum("docs_ok").alias("ok"),
+        F.sum("docs_failed").alias("f"),
+        F.sum("decision_raw").alias("raw"),
+        F.sum("decision_pdf").alias("pdf"),
+    ).collect()[0]
+    total = out.count()
+    assert agg["t"] == total
+    assert agg["ok"] == out.filter(F.col("error").isNull()).count()
+    assert agg["f"] == out.filter(F.col("error").isNotNull()).count()
+    assert agg["raw"] == out.filter(F.col("content_mode") == "raw").count()
+    assert agg["pdf"] == out.filter(F.col("content_mode") == "pdf").count()
+
+
+def test_partitioning_columns_deterministic(spark, job_output):
+    tmp, cfg, _ = job_output
+    out = TableIO(spark, cfg.output_path).read()
+    assert "url_bucket" in out.columns
+    buckets = out.select(F.min("url_bucket"), F.max("url_bucket")).collect()[0]
+    assert buckets[0] >= 0 and buckets[1] < cfg.buckets
+    # Same url → same bucket, always (required for idempotent resume).
+    recomputed = out.withColumn(
+        "rb", F.pmod(F.xxhash64("url"), F.lit(cfg.buckets)).cast("int")
+    )
+    assert recomputed.filter(F.col("rb") != F.col("url_bucket")).count() == 0
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not present")
+def test_golden_parity_through_spark(spark, tmp_path):
+    """The full Spark path (binary→decode→UDF) must preserve byte parity."""
+    rows = []
+    for name, fixture, url, mode in GOLDEN_CASES:
+        html = load_fixture(fixture).encode("utf-8")
+        rows.append((url, None, html, None, None, mode))
+    # Fresh StructType: .add() would mutate the shared PAGES_SCHEMA in place.
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(PAGES_SCHEMA.fields) + [T.StructField("mode", T.StringType())])
+    df = spark.createDataFrame(rows, schema)
+
+    from riptide_spark.operators.extract_udf import extract_udf
+
+    got = {
+        r["url"] + "|" + r["mode"]: r
+        for r in df.withColumn(
+            "ex", extract_udf(F.col("html"), F.col("url"), F.col("mode"))
+        )
+        .select("url", "mode", "ex.*")
+        .collect()
+    }
+    for name, fixture, url, mode in GOLDEN_CASES:
+        expected = load_snapshot(name)
+        row = got[url + "|" + mode]
+        assert row["extracted_text"] == expected["text"], name
+        assert row["title"] == expected["title"], name
+        assert list(row["links"]) == expected["links"], name
+        assert list(row["media"]) == expected["media"], name
+        assert list(row["categories"]) == expected["categories"], name
+        assert row["quality_score"] == expected["quality_score"], name
+        assert row["word_count"] == expected["word_count"], name
+
+
+def test_determinism_across_parallelism(spark, tmp_path):
+    """Same input at different partition counts → identical output rows.
+
+    This is the correctness half of the two-cluster-size scaling criterion:
+    nothing in the plan may depend on task layout.
+    """
+    def run(parts, sub):
+        cfg = ExtractionJobConfig(
+            output_path=str(tmp_path / sub / "out"),
+            target_partitions=parts,
+            resume=False,
+        )
+        run_extraction_job(spark, pages_dataframe(spark, 80, seed=3, partitions=parts), cfg)
+        out = TableIO(spark, cfg.output_path).read()
+        return {
+            r["url"]: (r["extracted_text"], r["title"], r["content_mode"], r["quality_score"])
+            for r in out.collect()
+        }
+
+    low = run(2, "p2")
+    high = run(8, "p8")
+    assert low == high
+
+
+def test_escalation_probes_first(spark):
+    """A probes_first page with a weak article probe escalates to full."""
+    weak_article = (
+        "<html><head><title>T</title></head><body>"
+        + "<article>" + ("word " * 45) + "</article>"
+        + "<div>" + ("extra body content here " * 30) + "</div>"
+        + ("<p>pad</p>" * 3)
+        + "</body></html>"
+    ).encode()
+    from riptide_spark.operators.extract_udf import extract_udf
+
+    df = spark.createDataFrame(
+        [("https://example.com/weak", weak_article, "probes_first")],
+        "url string, html binary, mode string",
+    )
+    row = df.select(
+        extract_udf(F.col("html"), F.col("url"), F.col("mode")).alias("ex")
+    ).select("ex.*").collect()[0]
+    assert row["escalated"] is True
+    # Escalated result is the full-body pass, so it includes the div text.
+    assert "extra body content" in row["extracted_text"]
