@@ -1,38 +1,181 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline (gate routing + the
+Arrow-vectorized extractor) over pages synthesized deterministically from
+the sf0.001 ``documents`` table. ``queries()``/``oracle_sql()`` expose the
+engine's operator surface (SURVEY.md §2 + the training-data operators) as
+Spark-vs-DuckDB pairs generated from one dialect-parallel template
+(``riptide_spark/oracle_queries.py``).
+
+Non-SQL-expressible operators (the HTML extraction UDF itself, the
+sliding-window chunker, LSH ANN re-ranking) are exposed as rows-only
+queries without oracle entries, as the contract allows.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from riptide_spark import oracle_queries as OQ  # noqa: E402
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_ORACLE_NAMES = list(OQ.GENERATORS)
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    for table in TABLES:
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(table)
+
+
+def _ensure_lossy_decode(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Common-Crawl-shaped pages built from `documents` —
+    same construction as the oracle's pages CTE, but with html as binary
+    per the input_hint schema."""
+    _register_views(spark, sf_dir)
+    pages_sql = OQ.pages_cte(OQ.SPARK) + " SELECT doc_id, lang, url, html FROM pages"
+    df = spark.sql(pages_sql)
+    return df.select(
+        "url",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode("html", "UTF-8").alias("html"),
+        F.col("html").alias("text"),
+        "lang",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: gate → route → Arrow extraction over sf0.001 pages."""
+    _ensure_lossy_decode(spark)
+    from riptide_spark.plans.pipeline import extraction_plan, ExtractionJobConfig
+
+    pages = _pages_from_documents(spark, "/root/testdata/sf0.001")
+    config = ExtractionJobConfig(output_path="", resume=False, target_partitions=None)
+    result = extraction_plan(pages, config)
+    return result.select(
+        "url",
+        "title",
+        "extracted_text",
+        "content_mode",
+        "language",
+        "quality_score",
+        "word_count",
+        "escalated",
+        "error",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries() — Spark side
+# ---------------------------------------------------------------------------
+
+
+def _sql_query(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_lossy_decode(spark)
+        _register_views(spark, sf_dir)
+        return spark.sql(OQ.spark_sql(name))
+
+    run.__name__ = f"q_{name}"
+    return run
+
+
+def _q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_lossy_decode(spark)
+    from riptide_spark.plans.pipeline import extraction_plan, ExtractionJobConfig
+
+    pages = _pages_from_documents(spark, sf_dir)
+    result = extraction_plan(pages, ExtractionJobConfig(output_path="", resume=False))
+    return result.select(
+        "url", "title", "extracted_text", "content_mode", "quality_score", "word_count"
+    )
+
+
+def _q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunker spans over documents.text (non-SQL op)."""
+    _ensure_lossy_decode(spark)
+    from pyspark.sql import types as T
+
+    from riptide_spark.functions.chunking import sliding_window_chunks
+
+    _register_views(spark, sf_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("n_chunks", T.IntegerType()),
+            T.StructField("total_tokens", T.LongType()),
+            T.StructField("last_end_pos", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def chunk_stats(text: pd.Series) -> pd.DataFrame:
+        rows = []
+        for value in text:
+            chunks = sliding_window_chunks(value or "", window_size=60, overlap=12)
+            rows.append(
+                {
+                    "n_chunks": len(chunks),
+                    "total_tokens": sum(c.token_count for c in chunks),
+                    "last_end_pos": chunks[-1].end_pos if chunks else 0,
+                }
+            )
+        return pd.DataFrame(rows, columns=["n_chunks", "total_tokens", "last_end_pos"])
+
+    docs = spark.table("documents")
+    return docs.select("doc_id", chunk_stats(F.col("text")).alias("c")).select(
+        "doc_id", "c.n_chunks", "c.total_tokens", "c.last_end_pos"
+    )
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbours (scale path of ANN)."""
+    _ensure_lossy_decode(spark)
+    from riptide_spark.operators.similarity import ann_topk_lsh
+
+    _register_views(spark, sf_dir)
+    return ann_topk_lsh(spark.table("embeddings"), query_id=0, k=10, planes=6)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 + the
+    training-data operator set. Column names/aliases match oracle_sql()."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _sql_query(name) for name in _ORACLE_NAMES
+    }
+    # Non-SQL-expressible operators: rows-only checks.
+    out["extract_pipeline"] = _q_extract_pipeline
+    out["chunk_spans"] = _q_chunk_spans
+    out["similarity_ann_lsh"] = _q_ann_lsh
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (same aliases, same values)."""
+    return {name: OQ.duck_sql(name) for name in _ORACLE_NAMES}

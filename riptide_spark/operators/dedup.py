@@ -1,0 +1,198 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all expressed with built-in Spark functions (JVM-side,
+codegen-friendly, no Python in the hot path) so Catalyst can push, prune and
+partially aggregate them at 100 TB:
+
+* **exact**: md5 fingerprint → groupBy. One shuffle on a 16-byte key.
+* **MinHash**: word-shingles → k md5-derived min-hashes → band buckets →
+  bucket join for candidate pairs. The classic shingle→minhash→band→bucket
+  LSH cascade; every stage is an array expression, the only shuffle is the
+  final bucket groupBy.
+* **n-gram Jaccard**: exact verification for candidate pairs via a shingle
+  equi-join (explode → join → count / union-size).
+* **SimHash**: 16-bit sign-vote fingerprint over word hashes (Hamming-style
+  near-dup families).
+
+Hashes are md5-derived (not Spark's xxhash64) so every result is
+reproducible in any engine — the DuckDB oracles in ``__spark_entry__.py``
+recompute them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE = 3
+DEFAULT_MINHASHES = 8
+DEFAULT_SIMHASH_BITS = 16
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def normalized_text(text: Column) -> Column:
+    """Whitespace-collapsed lowercase normalization for fingerprinting."""
+    return F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+
+
+def exact_fingerprint(text: Column) -> Column:
+    return F.md5(normalized_text(text))
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents."""
+    return (
+        df.select(F.col(id_col), exact_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """k-word shingles of the lowercased text (distinct not applied)."""
+    words = _words(F.lower(text))
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+
+
+def _hash60(col: Column) -> Column:
+    """First 15 hex chars of md5 as a bigint (portable across engines)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signature(text: Column, num_hashes: int = DEFAULT_MINHASHES, k: int = DEFAULT_SHINGLE) -> list[Column]:
+    """k independent min-hashes: min over shingles of md5('<i>:'||shingle)."""
+    sh = shingles(text, k)
+
+    def _hasher(i: int):
+        return lambda s: _hash60(F.concat(F.lit(f"{i}:"), s))
+
+    return [
+        F.array_min(F.transform(sh, _hasher(i))).alias(f"minhash_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                       num_hashes: int = DEFAULT_MINHASHES) -> DataFrame:
+    return df.select(F.col(id_col), *minhash_signature(F.col(text_col), num_hashes))
+
+
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_MINHASHES,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: hash each band of the signature to a bucket id; documents
+    sharing any (band, bucket) are near-dup candidates."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"minhash_{b * band_size + j}") for j in range(band_size)]
+        bucket = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        bands.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                            num_hashes: int = DEFAULT_MINHASHES, band_size: int = 2) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH bucket."""
+    buckets = minhash_band_buckets(df, text_col, id_col, num_hashes, band_size)
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over shingle-join candidates.
+
+    explode(distinct shingles) → self equi-join on shingle (only documents
+    sharing a shingle ever meet — the join key *is* the blocking) →
+    |A∩B| / (|A|+|B|−|A∩B|).
+    """
+    sh = df.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), k)).alias("sh")
+    )
+    sizes = sh.select(id_col, F.size("sh").alias("n"))
+    exploded = sh.select(id_col, F.explode("sh").alias("shingle"))
+    pairs = (
+        exploded.alias("a")
+        .join(
+            exploded.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprint(text: Column, bits: int = DEFAULT_SIMHASH_BITS) -> Column:
+    """Sign-vote SimHash over word hashes: bit b set iff Σ±1 votes > 0."""
+    words = _words(F.lower(text))
+    hashes = F.transform(words, _hash60)
+    def _voter(bit: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    total = F.lit(0).cast("bigint")
+    for b in range(bits):
+        votes = F.aggregate(hashes, F.lit(0).cast("bigint"), _voter(b))
+        total = total + F.when(votes > 0, F.lit(1 << b).cast("bigint")).otherwise(0)
+    return total
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                         bits: int = DEFAULT_SIMHASH_BITS) -> DataFrame:
+    return df.select(
+        F.col(id_col), simhash_fingerprint(F.col(text_col), bits).alias("simhash")
+    )

@@ -1,0 +1,617 @@
+"""Dialect-parallel SQL generators: each query is written once against a tiny
+dialect abstraction and rendered twice — Spark SQL (the engine under test)
+and DuckDB ANSI SQL (the driver's oracle). Keeping both renderings of a
+query textually parallel eliminates an entire class of oracle-mismatch bugs.
+
+Queries over the synthesized ``pages`` CTE re-express the reference's gate /
+validation / scoring operators (SURVEY.md §2.2) relationally; the rest cover
+the engine's aggregation/join/window/dedup surface over the TPC-H-ish
+testdata tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Dialect:
+    name: str
+    str_t: str          # cast-to-string type name
+    gflag: str          # trailing regexp_replace "global" flag argument
+    arr_len: str        # array length function
+    arr_min: str        # array min function
+    esc_backslash: bool # double the backslashes inside string literals
+
+    def re(self, pattern: str) -> str:
+        """Render a regex as a quoted SQL string literal."""
+        if self.esc_backslash:
+            pattern = pattern.replace("\\", "\\\\")
+        return "'" + pattern.replace("'", "''") + "'"
+
+    def s(self, expr: str) -> str:
+        return f"CAST({expr} AS {self.str_t})"
+
+    def rre(self, expr: str, pattern: str, replacement: str = "") -> str:
+        return f"regexp_replace({expr}, {self.re(pattern)}, '{replacement}'{self.gflag})"
+
+    def rx_all_count(self, expr: str, pattern: str) -> str:
+        if self.name == "spark":
+            return f"CAST(size(regexp_extract_all({expr}, {self.re(pattern)}, 0)) AS BIGINT)"
+        return f"CAST(len(regexp_extract_all({expr}, {self.re(pattern)})) AS BIGINT)"
+
+    def rx_first(self, expr: str, pattern: str) -> str:
+        # try_element_at / list_extract both yield NULL when no match exists.
+        if self.name == "spark":
+            return f"try_element_at(regexp_extract_all({expr}, {self.re(pattern)}, 0), 1)"
+        return f"list_extract(regexp_extract_all({expr}, {self.re(pattern)}), 1)"
+
+    def split_ws(self, expr: str) -> str:
+        if self.name == "spark":
+            return f"split(trim({expr}), {self.re(chr(92) + 's+')})"
+        return f"regexp_split_to_array(trim({expr}), {self.re(chr(92) + 's+')})"
+
+    def hash60(self, expr: str) -> str:
+        """First 15 hex chars of md5 as BIGINT — portable 60-bit hash."""
+        if self.name == "spark":
+            return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+        return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+    def slice_k(self, arr: str, start: str, k: int) -> str:
+        if self.name == "spark":
+            return f"slice({arr}, {start}, {k})"
+        return f"{arr}[{start}:{start}+{k - 1}]"
+
+    def arr_join(self, arr: str, sep: str = " ") -> str:
+        if self.name == "spark":
+            return f"array_join({arr}, '{sep}')"
+        return f"array_to_string({arr}, '{sep}')"
+
+    def seconds(self, ts: str) -> str:
+        if self.name == "spark":
+            return f"unix_timestamp({ts})"
+        return f"date_diff('second', TIMESTAMP '1970-01-01 00:00:00', {ts})"
+
+    def sum_list(self, arr: str) -> str:
+        if self.name == "spark":
+            return f"aggregate({arr}, 0L, (acc, v) -> acc + v)"
+        return f"COALESCE(CAST(list_sum({arr}) AS BIGINT), 0)"
+
+
+SPARK = Dialect("spark", "STRING", "", "size", "array_min", True)
+DUCK = Dialect("duck", "VARCHAR", ", 'g'", "len", "list_min", False)
+
+_WS = "\\s+"
+
+# ---------------------------------------------------------------------------
+# Synthesized pages CTE — deterministic HTML/URL built from `documents`,
+# identical text in both dialects (ASCII markup, so chars == bytes).
+# ---------------------------------------------------------------------------
+
+
+def pages_cte(d: Dialect) -> str:
+    did = d.s("doc_id")
+    return f"""
+WITH pages AS (
+  SELECT
+    doc_id, lang, source, text,
+    'https://' || (CASE WHEN doc_id % 11 = 0 THEN 'en.wikipedia.org'
+                        WHEN doc_id % 7 = 0 THEN 'medium.com'
+                        ELSE source || '.example.com' END)
+      || '/doc/' || {did} AS url,
+    '<html lang="' || lang || '"><head><title>Doc ' || {did} || '</title>'
+      || (CASE WHEN doc_id % 3 = 0 THEN '<meta property="og:title" content="Doc">' ELSE '' END)
+      || '</head><body>'
+      || repeat('<script>var x=1;</script>', CAST(doc_id % 4 AS INT))
+      || (CASE WHEN doc_id % 5 = 0 THEN '<article><h1>Doc ' || {did} || '</h1>' ELSE '<div>' END)
+      || '<p>' || text || '</p>'
+      || (CASE WHEN doc_id % 5 = 0 THEN '</article>' ELSE '</div>' END)
+      || '</body></html>' AS html
+  FROM documents
+)"""
+
+
+def _count_sub(d: Dialect, expr: str, needle: str) -> str:
+    n = len(needle)
+    return f"CAST((length({expr}) - length(replace({expr}, '{needle}', ''))) / {n} AS BIGINT)"
+
+
+def _gate_features_select(d: Dialect) -> str:
+    script_parts = "slice(split(html, '<script'), 2, greatest(size(split(html, '<script')) - 1, 0))" \
+        if d.name == "spark" else "string_split(html, '<script')[2:]"
+    if d.name == "spark":
+        script_bytes = (
+            f"aggregate({script_parts}, 0L, (acc, p) -> acc + "
+            "CASE WHEN instr(p, '</script>') > 0 THEN CAST(instr(p, '</script>') + 8 AS LONG) "
+            "ELSE CAST(length(p) AS LONG) END)"
+        )
+    else:
+        script_bytes = (
+            f"COALESCE(CAST(list_sum(list_transform({script_parts}, p -> "
+            "CASE WHEN instr(p, '</script>') > 0 THEN instr(p, '</script>') + 8 "
+            "ELSE length(p) END)) AS BIGINT), 0)"
+        )
+    visible = d.rre("html", "[\\x00-\\x1F\\x7F-\\x9F]")
+    return f"""
+  SELECT
+    doc_id,
+    CAST(length(html) AS BIGINT) AS html_len,
+    CAST(length({visible}) AS BIGINT) AS visible_chars,
+    {_count_sub(d, 'html', '<p')} AS p_count,
+    {_count_sub(d, 'html', '<article')} + {_count_sub(d, 'html', '<main')} AS article_count,
+    {_count_sub(d, 'html', '<h1')} + {_count_sub(d, 'html', '<h2')} AS h1h2_count,
+    {script_bytes} AS script_bytes,
+    CAST(CASE WHEN instr(html, 'property="og:') > 0 OR instr(html, 'property=''og:') > 0
+         THEN 1 ELSE 0 END AS INT) AS has_og,
+    CAST(CASE WHEN instr(html, '"@type":"Article"') > 0 THEN 1 ELSE 0 END AS INT) AS has_jsonld,
+    CAST((CASE WHEN instr(html, '__NEXT_DATA__') > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN instr(html, 'data-reactroot') > 0 OR instr(html, 'data-react-helmet') > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN instr(html, 'id="root"') > 0 AND {_count_sub(d, 'html', '<div')} > 20 THEN 1 ELSE 0 END)
+       + (CASE WHEN {script_bytes} > CAST(length(html) / 2 AS BIGINT) THEN 1 ELSE 0 END) AS INT) AS spa_markers,
+    CAST(CASE WHEN url LIKE '%wikipedia.%' OR url LIKE '%github.%' THEN 0.9
+              WHEN url LIKE '%medium.%' OR url LIKE '%dev.to%' THEN 0.8
+              ELSE 0.5 END AS DOUBLE) AS domain_prior
+  FROM pages"""
+
+
+def q_gate_features(d: Dialect) -> str:
+    """Gate feature extraction (pipeline.rs:769-841) as relational ops.
+
+    Spark's strpos == instr (both 1-based); DuckDB strpos identical."""
+    return pages_cte(d) + _gate_features_select(d)
+
+
+_SCORE_EXPR = """
+    ROUND(GREATEST(0.0, LEAST(1.0,
+        GREATEST(0.0, LEAST(0.6, (visible_chars * 1.2) / html_len))
+      + GREATEST(0.0, LEAST(0.3, ln(p_count + 1.0) * 0.06))
+      + (CASE WHEN article_count > 0 THEN 0.15 ELSE 0.0 END)
+      + (CASE WHEN has_og = 1 THEN 0.08 ELSE 0.0 END)
+      + (CASE WHEN has_jsonld = 1 THEN 0.12 ELSE 0.0 END)
+      - GREATEST(0.0, LEAST(0.4, (script_bytes * 0.8) / html_len))
+      - (CASE WHEN spa_markers >= 2 THEN 0.25 ELSE 0.0 END)
+      + (domain_prior - 0.5) * 0.1
+    )), 6) AS gate_score"""
+
+
+def q_gate_score(d: Dialect) -> str:
+    """Gate score (gate.rs:83-137): clamped weighted sum, rounded 6dp."""
+    return (
+        pages_cte(d)
+        + ", feats AS ("
+        + _gate_features_select(d)
+        + f")\n  SELECT doc_id, CAST({_SCORE_EXPR.strip().removesuffix('AS gate_score')} AS DOUBLE) AS gate_score FROM feats"
+    )
+
+
+def q_route_counts(d: Dialect) -> str:
+    """Routing decision (gate.rs:233-246) + per-decision counts (A1)."""
+    return (
+        pages_cte(d)
+        + ", feats AS ("
+        + _gate_features_select(d)
+        + f"), scored AS (SELECT doc_id, spa_markers, {_SCORE_EXPR} FROM feats)\n"
+        + """
+  SELECT content_mode, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM (
+    SELECT CASE WHEN gate_score >= 0.7 THEN 'raw'
+                WHEN gate_score <= 0.3 OR spa_markers >= 3 THEN 'headless'
+                ELSE 'probes_first' END AS content_mode
+    FROM scored
+  ) t
+  GROUP BY content_mode"""
+    )
+
+
+def q_validation_flags(d: Dialect) -> str:
+    """P1-P3 validation predicates (common_validation.rs:52-89) as filters."""
+    lower = "lower(html)"
+    return pages_cte(d) + f"""
+  SELECT
+    CAST(CASE WHEN instr({lower}, '<html') > 0 OR instr({lower}, '<!doctype') > 0
+         THEN 1 ELSE 0 END AS INT) AS has_html_tags,
+    CAST(CASE WHEN instr({lower}, '<body') > 0 THEN 1 ELSE 0 END AS INT) AS has_body,
+    CAST(CASE WHEN instr({lower}, '<p>') > 0 OR instr({lower}, '<div') > 0
+          OR instr({lower}, '<article') > 0 OR instr({lower}, '<main') > 0
+         THEN 1 ELSE 0 END AS INT) AS has_content_tags,
+    CAST(CASE WHEN length(html) <= 20971520 THEN 1 ELSE 0 END AS INT) AS size_ok,
+    CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pages
+  GROUP BY 1, 2, 3, 4"""
+
+
+def q_word_count_reading_time(d: Dialect) -> str:
+    """E13: whitespace word count + ceil(words/225) reading time, min 1."""
+    words = f"CAST({d.arr_len}({d.split_ws('text')}) AS BIGINT)"
+    return f"""
+  SELECT doc_id,
+    {words} AS word_count,
+    CAST(GREATEST(CAST(ceil({words} / 225.0) AS BIGINT), 1) AS BIGINT) AS reading_time
+  FROM documents"""
+
+
+def q_quality_tiers(d: Dialect) -> str:
+    """E14 basic quality score tiers over (title_len, content_len, words)."""
+    words = f"CAST({d.arr_len}({d.split_ws('text')}) AS BIGINT)"
+    title_len = f"length('Doc ' || {d.s('doc_id')})"
+    return f"""
+  SELECT doc_id, CAST(LEAST(100,
+      30
+    + (CASE WHEN {title_len} > 10 AND {title_len} < 100 THEN 15
+            WHEN {title_len} > 5 THEN 8 ELSE 0 END)
+    + (CASE WHEN length(text) > 2000 THEN 20
+            WHEN length(text) > 1000 THEN 15
+            WHEN length(text) > 500 THEN 10
+            WHEN length(text) > 200 THEN 5 ELSE 0 END)
+    + (CASE WHEN doc_id % 2 = 0 THEN 10 ELSE 0 END)
+    + (CASE WHEN doc_id % 3 = 0 THEN 10 ELSE 0 END)
+    + (CASE WHEN {words} > 500 THEN 10 WHEN {words} > 200 THEN 5 ELSE 0 END)
+  ) AS INT) AS quality_score
+  FROM documents"""
+
+
+def q_regex_extraction(d: Dialect) -> str:
+    """E21 regex extraction over deterministic contact-enriched text."""
+    body = (
+        f"'reach user' || {d.s('doc_id')} || '@mail.example.com or call (555) 010-'"
+        f" || substr({d.s('doc_id % 10000 + 10000')}, 2, 4)"
+        f" || ' on 2024-0' || {d.s('doc_id % 9 + 1')} || '-15 price $'"
+        f" || {d.s('doc_id % 90 + 10')} || '.50 see https://ref.example.com/x' || {d.s('doc_id')}"
+        " || ' ' || text"
+    )
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    url = "https?://[^\\s<>\"]+"
+    iso = "\\d{4}-\\d{2}-\\d{2}"
+    phone = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+    price = "\\$\\d+\\.\\d{2}"
+    return f"""
+  WITH enriched AS (SELECT doc_id, {body} AS body FROM documents)
+  SELECT doc_id,
+    {d.rx_all_count('body', email)} AS n_emails,
+    {d.rx_first('body', email)} AS first_email,
+    {d.rx_all_count('body', url)} AS n_urls,
+    {d.rx_first('body', url)} AS first_url,
+    {d.rx_all_count('body', iso)} AS n_iso_dates,
+    {d.rx_all_count('body', phone)} AS n_phones,
+    {d.rx_all_count('body', price)} AS n_prices
+  FROM enriched"""
+
+
+_DUP_CORPUS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+)"""
+
+
+def q_dedup_exact(d: Dialect) -> str:
+    """Exact dedup: md5 over normalized text, groups with >1 member."""
+    fp = f"md5({d.rre('trim(lower(text))', _WS, ' ')})"
+    return _DUP_CORPUS + f"""
+  SELECT {fp} AS fingerprint,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         MIN(doc_id) AS keep_id
+  FROM corpus
+  GROUP BY 1
+  HAVING COUNT(*) > 1"""
+
+
+def _shingles_expr(d: Dialect, words: str, k: int = 3) -> str:
+    """k-word shingle array (guarded for short docs)."""
+    n = f"{d.arr_len}({words})"
+    if d.name == "spark":
+        gen = f"transform(sequence(1, {n} - {k - 1}), i -> array_join(slice({words}, i, {k}), ' '))"
+        short = f"array(array_join({words}, ' '))"
+    else:
+        gen = f"list_transform(generate_series(1, {n} - {k - 1}), i -> array_to_string({words}[i:i+{k - 1}], ' '))"
+        short = f"[array_to_string({words}, ' ')]"
+    return f"CASE WHEN {n} >= {k} THEN {gen} ELSE {short} END"
+
+
+def q_minhash_signatures(d: Dialect, num_hashes: int = 8) -> str:
+    """MinHash signatures: min over shingles of md5('<i>:'||shingle)."""
+    words = d.split_ws("lower(text)")
+    sh = _shingles_expr(d, "w")
+    cols = []
+    for i in range(num_hashes):
+        inner = d.hash60(f"'{i}:' || s")
+        if d.name == "spark":
+            cols.append(f"array_min(transform(sh, s -> {inner})) AS minhash_{i}")
+        else:
+            cols.append(f"list_min(list_transform(sh, s -> {inner})) AS minhash_{i}")
+    return f"""
+  WITH toks AS (SELECT doc_id, {words} AS w FROM documents),
+       shingled AS (SELECT doc_id, {sh} AS sh FROM toks)
+  SELECT doc_id, {', '.join(cols)} FROM shingled"""
+
+
+def q_minhash_pairs(d: Dialect, num_hashes: int = 8, band_size: int = 2) -> str:
+    """LSH band-bucket candidate pairs over the duplicated corpus."""
+    words = d.split_ws("lower(text)")
+    sh = _shingles_expr(d, "w")
+    mh_cols = []
+    for i in range(num_hashes):
+        inner = d.hash60(f"'{i}:' || s")
+        fn = "array_min(transform" if d.name == "spark" else "list_min(list_transform"
+        mh_cols.append(f"{fn}(sh, s -> {inner})) AS m{i}")
+    bands = []
+    for b in range(num_hashes // band_size):
+        parts = " || ',' || ".join(
+            d.s(f"m{b * band_size + j}") for j in range(band_size)
+        )
+        bands.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs")
+    band_union = "\n  UNION ALL\n  ".join(bands)
+    return _DUP_CORPUS + f""",
+  toks AS (SELECT doc_id, {words} AS w FROM corpus),
+  shingled AS (SELECT doc_id, {sh} AS sh FROM toks),
+  sigs AS (SELECT doc_id, {', '.join(mh_cols)} FROM shingled),
+  buckets AS ({band_union})
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+
+
+def q_ngram_jaccard(d: Dialect, k: int = 3, threshold: float = 0.8) -> str:
+    """Exact n-gram Jaccard verification over shingle-join candidates."""
+    words = d.split_ws("lower(text)")
+    sh = _shingles_expr(d, "w", k)
+    if d.name == "spark":
+        distinct_sh = "array_distinct(sh)"
+        explode = "SELECT doc_id, explode(dsh) AS shingle FROM shingled"
+    else:
+        distinct_sh = "list_distinct(sh)"
+        explode = "SELECT doc_id, unnest(dsh) AS shingle FROM shingled"
+    return _DUP_CORPUS + f""",
+  toks AS (SELECT doc_id, {words} AS w FROM corpus),
+  shingled AS (SELECT doc_id, {distinct_sh} AS dsh
+               FROM (SELECT doc_id, {sh} AS sh FROM toks) t),
+  sizes AS (SELECT doc_id, CAST({d.arr_len}(dsh) AS BIGINT) AS n FROM shingled),
+  exploded AS ({explode}),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM exploded a JOIN exploded b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  )
+  SELECT i.id_a, i.id_b,
+         CAST(ROUND(shared * 1.0 / (na.n + nb.n - shared), 6) AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.id_a
+  JOIN sizes nb ON nb.doc_id = i.id_b
+  WHERE shared * 1.0 / (na.n + nb.n - shared) >= {threshold}"""
+
+
+def q_simhash(d: Dialect, bits: int = 16) -> str:
+    """16-bit sign-vote SimHash fingerprints."""
+    words = d.split_ws("lower(text)")
+    hashes = (
+        f"transform(w, x -> {d.hash60('x')})"
+        if d.name == "spark"
+        else f"list_transform(w, x -> {d.hash60('x')})"
+    )
+    bit_terms = []
+    for b in range(bits):
+        if d.name == "spark":
+            votes = (
+                f"aggregate(h, 0L, (acc, v) -> acc + "
+                f"CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+            )
+        else:
+            votes = (
+                f"COALESCE(CAST(list_sum(list_transform(h, v -> "
+                f"CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) AS BIGINT), 0)"
+            )
+        bit_terms.append(f"(CASE WHEN {votes} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)")
+    return f"""
+  WITH toks AS (SELECT doc_id, {words} AS w FROM documents),
+       hashed AS (SELECT doc_id, {hashes} AS h FROM toks)
+  SELECT doc_id, CAST({' + '.join(bit_terms)} AS BIGINT) AS simhash FROM hashed"""
+
+
+def q_token_counts(d: Dialect) -> str:
+    """Whitespace tokens + BPE-ish regex tokens (letters/digits/symbols)."""
+    ws = f"CAST({d.arr_len}({d.split_ws('text')}) AS BIGINT)"
+    bpe = d.rx_all_count("lower(text)", "[a-z]+|[0-9]+|[^a-z0-9\\s]")
+    return f"""
+  SELECT doc_id, {ws} AS ws_tokens, {bpe} AS bpe_tokens FROM documents"""
+
+
+def _lang_profiles() -> dict[str, str]:
+    from .functions.langid import STOPWORD_PROFILES
+
+    return {lang: "|".join(words) for lang, words in STOPWORD_PROFILES.items()}
+
+
+def q_langid(d: Dialect) -> str:
+    """Stopword-profile language ID with deterministic argmax tie-break."""
+    profiles = _lang_profiles()
+    langs = ("en", "de", "fr", "es", "nl")
+    hit_cols = []
+    for lang in langs:
+        pat = f"\\b({profiles[lang]})\\b"
+        hit_cols.append(f"{d.rx_all_count('lower(text)', pat)} AS hits_{lang}")
+    best = "GREATEST(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+  WITH hits AS (SELECT doc_id, lang, {', '.join(hit_cols)} FROM documents)
+  SELECT doc_id, lang AS actual_lang,
+         hits_en, hits_de, hits_fr, hits_es, hits_nl,
+         CASE WHEN {best} > 0 THEN {pred} ELSE 'und' END AS predicted_lang
+  FROM hits"""
+
+
+def q_text_quality(d: Dialect) -> str:
+    """Quality signals: punct / alpha / stopword ratios, mean word length."""
+    words = f"CAST({d.arr_len}({d.split_ws('text')}) AS BIGINT)"
+    punct = f"CAST(length({d.rre('text', '[^.,;:!?]')}) AS BIGINT)"
+    alpha = f"CAST(length({d.rre('text', '[^A-Za-z]')}) AS BIGINT)"
+    profiles = _lang_profiles()
+    stop_en = d.rx_all_count("lower(text)", f"\\b({profiles['en']})\\b")
+    return f"""
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    {words} AS n_words,
+    CAST(ROUND({punct} * 1.0 / GREATEST(length(text), 1), 6) AS DOUBLE) AS punct_ratio,
+    CAST(ROUND({alpha} * 1.0 / GREATEST(length(text), 1), 6) AS DOUBLE) AS alpha_ratio,
+    CAST(ROUND({stop_en} * 1.0 / GREATEST({words}, 1), 6) AS DOUBLE) AS stopword_ratio,
+    CAST(ROUND({alpha} * 1.0 / GREATEST({words}, 1), 6) AS DOUBLE) AS mean_word_len
+  FROM documents"""
+
+
+def q_fingerprints(d: Dialect) -> str:
+    """Stable per-document fingerprint (rolling-hash analog, md5-based)."""
+    return f"""
+  SELECT doc_id, md5({d.rre('trim(lower(text))', _WS, ' ')}) AS fingerprint
+  FROM documents"""
+
+
+def q_topk_per_lang(d: Dialect) -> str:
+    """Top-5 longest documents per language (window + rank ≤ k)."""
+    return """
+  SELECT doc_id, lang, n_chars, CAST(rk AS INT) AS rk FROM (
+    SELECT doc_id, lang, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rk
+    FROM documents
+  ) t WHERE rk <= 5"""
+
+
+def q_resume_anti_join(d: Dialect) -> str:
+    """J1 resume semantics: orders with no lineitem (left anti join)."""
+    return """
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)"""
+
+
+def q_dim_broadcast_join(d: Dialect) -> str:
+    """J2 broadcast-dim join: customers per region with balance stats."""
+    return """
+  SELECT r.r_name AS region,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(ROUND(AVG(c.c_acctbal), 4) AS DOUBLE) AS avg_balance
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name"""
+
+
+def q_events_stats(d: Dialect) -> str:
+    """A1 metrics aggregation shape over the events table."""
+    return """
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         CAST(ROUND(SUM(value), 4) AS DOUBLE) AS total_value,
+         CAST(ROUND(AVG(value), 6) AS DOUBLE) AS avg_value
+  FROM events
+  GROUP BY event_type"""
+
+
+def q_sessionization(d: Dialect) -> str:
+    """Sessionization: lag + gap>30min session starts per user."""
+    return f"""
+  WITH ordered AS (
+    SELECT user_id, {d.seconds('ts')} AS sec,
+           LAG({d.seconds('ts')}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+    FROM events
+  )
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+  FROM ordered
+  GROUP BY user_id"""
+
+
+def q_cosine_topk(d: Dialect, query_id: int = 0, k: int = 10) -> str:
+    """Brute-force cosine top-k against vector ``query_id``."""
+    if d.name == "spark":
+        dot = (
+            "aggregate(zip_with(CAST(e.embedding AS ARRAY<DOUBLE>), q.qv, (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        qv = "CAST(embedding AS ARRAY<DOUBLE>)"
+        norm_e = (
+            "sqrt(aggregate(zip_with(CAST(e.embedding AS ARRAY<DOUBLE>), CAST(e.embedding AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+        )
+        norm_q = "sqrt(aggregate(zip_with(q.qv, q.qv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    else:
+        dot = "list_dot_product(e.embedding::DOUBLE[], q.qv)"
+        qv = "embedding::DOUBLE[]"
+        norm_e = "sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        norm_q = "sqrt(list_dot_product(q.qv, q.qv))"
+    return f"""
+  WITH q AS (SELECT {qv} AS qv FROM embeddings WHERE vec_id = {query_id})
+  SELECT e.vec_id, CAST(ROUND({dot} / ({norm_e} * {norm_q}), 6) AS DOUBLE) AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != {query_id}
+  ORDER BY cosine_sim DESC, e.vec_id ASC
+  LIMIT {k}"""
+
+
+def q_multimodal_meta(d: Dialect) -> str:
+    """Opaque-binary column plumbing: byte lengths + magic sniff over text
+    re-encoded as a binary payload (the image/audio analog at parquet level)."""
+    blob = "encode(text, 'UTF-8')" if d.name == "spark" else "encode(text)"
+    return f"""
+  SELECT doc_id,
+    CAST(octet_length({blob}) AS BIGINT) AS payload_bytes,
+    CAST(length(text) AS BIGINT) AS payload_chars,
+    CAST(CASE WHEN octet_length({blob}) = length(text) THEN 1 ELSE 0 END AS INT) AS is_ascii
+  FROM documents"""
+
+
+def q_host_skew(d: Dialect) -> str:
+    """Skew diagnostics: per-host doc counts + hot-host flag (>5%)."""
+    host = (
+        "CASE WHEN doc_id % 11 = 0 THEN 'en.wikipedia.org' "
+        "WHEN doc_id % 7 = 0 THEN 'medium.com' "
+        "ELSE source || '.example.com' END"
+    )
+    return f"""
+  WITH hosts AS (SELECT {host} AS host FROM documents),
+       total AS (SELECT COUNT(*) AS n FROM hosts)
+  SELECT h.host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(CASE WHEN COUNT(*) * 1.0 / MAX(t.n) > 0.05 THEN 1 ELSE 0 END AS INT) AS is_hot
+  FROM hosts h CROSS JOIN total t
+  GROUP BY h.host"""
+
+
+# Registry: name -> generator
+GENERATORS = {
+    "gate_features": q_gate_features,
+    "gate_score": q_gate_score,
+    "gate_route_counts": q_route_counts,
+    "validation_flags": q_validation_flags,
+    "word_count_reading_time": q_word_count_reading_time,
+    "quality_score_tiers": q_quality_tiers,
+    "regex_extraction": q_regex_extraction,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_candidate_pairs": q_minhash_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "simhash_fingerprints": q_simhash,
+    "token_counts": q_token_counts,
+    "langid_stopwords": q_langid,
+    "text_quality_signals": q_text_quality,
+    "doc_fingerprints": q_fingerprints,
+    "topk_docs_per_lang": q_topk_per_lang,
+    "resume_anti_join": q_resume_anti_join,
+    "dim_broadcast_join": q_dim_broadcast_join,
+    "events_stats": q_events_stats,
+    "events_sessionization": q_sessionization,
+    "similarity_cosine_topk": q_cosine_topk,
+    "multimodal_binary_meta": q_multimodal_meta,
+    "host_skew_stats": q_host_skew,
+}
+
+
+def spark_sql(name: str) -> str:
+    return GENERATORS[name](SPARK)
+
+
+def duck_sql(name: str) -> str:
+    return GENERATORS[name](DUCK)

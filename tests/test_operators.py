@@ -1,0 +1,189 @@
+"""DataFrame-API operator modules vs the dialect-template SQL: the package's
+dedup/similarity/textops operators must produce exactly the rows the
+SQL-template (and hence the DuckDB oracle) produces."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from riptide_spark import oracle_queries as OQ
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    df.createOrReplaceTempView("documents")
+    return df
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    df = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    df.createOrReplaceTempView("embeddings")
+    return df
+
+
+def _rows(df, key=None):
+    data = [tuple(r) for r in df.collect()]
+    return sorted(data, key=lambda t: tuple(str(x) for x in t))
+
+
+def test_minhash_operator_matches_sql(spark, docs):
+    from riptide_spark.operators.dedup import minhash_signatures
+
+    api = minhash_signatures(docs, "text", "doc_id", num_hashes=8)
+    sql = spark.sql(OQ.spark_sql("minhash_signatures"))
+    assert _rows(api) == _rows(sql)
+
+
+def test_exact_dedup_operator_matches_sql(spark, docs):
+    from riptide_spark.operators.dedup import exact_duplicate_groups
+
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    api = exact_duplicate_groups(corpus)
+    sql = spark.sql(OQ.spark_sql("dedup_exact")).selectExpr(
+        "fingerprint", "n_docs", "keep_id"
+    )
+    assert _rows(api.select("fingerprint", "n_docs", "keep_id")) == _rows(sql)
+    assert api.count() > 0  # the duplicated corpus must produce groups
+
+
+def test_simhash_operator_matches_sql(spark, docs):
+    from riptide_spark.operators.dedup import simhash_fingerprints
+
+    api = simhash_fingerprints(docs, "text", "doc_id", bits=16)
+    sql = spark.sql(OQ.spark_sql("simhash_fingerprints"))
+    assert _rows(api) == _rows(sql)
+
+
+def test_jaccard_operator_finds_duplicates(spark, docs):
+    from riptide_spark.operators.dedup import ngram_jaccard_pairs
+
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.99).collect()
+    # Every injected duplicate pair (id, id+100000) must be found at 1.0.
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    expected_ids = [r["doc_id"] for r in docs.filter(F.col("doc_id") % 20 == 0).collect()]
+    for i in expected_ids:
+        assert (i, i + 100000) in found
+    assert all(abs(r["jaccard"] - 1.0) < 1e-9 for r in pairs if r["id_b"] - r["id_a"] == 100000)
+
+
+def test_minhash_lsh_recall_on_duplicates(spark, docs):
+    from riptide_spark.operators.dedup import minhash_candidate_pairs
+
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    candidates = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(corpus).collect()
+    }
+    expected_ids = [r["doc_id"] for r in docs.filter(F.col("doc_id") % 20 == 0).collect()]
+    # Exact duplicates share every band → 100% LSH recall on them.
+    for i in expected_ids:
+        assert (i, i + 100000) in candidates
+
+
+def test_cosine_topk_operator_matches_sql(spark, embeddings):
+    from riptide_spark.operators.similarity import cosine_topk
+
+    api = cosine_topk(embeddings, query_id=0, k=10)
+    sql = spark.sql(OQ.spark_sql("similarity_cosine_topk"))
+    assert _rows(api) == _rows(sql)
+
+
+def test_ann_lsh_consistent_with_bruteforce(spark, embeddings):
+    from riptide_spark.operators.similarity import ann_topk_lsh, cosine_topk
+
+    exact_all = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in cosine_topk(embeddings, 0, k=10_000).collect()
+    }
+    rows = ann_topk_lsh(embeddings, 0, k=10, planes=4).collect()
+    assert rows, "query bucket should contain candidates"
+    # Candidate scores are exact cosines: each must equal the brute-force
+    # score for that id, and the list must be sorted descending.
+    for r in rows:
+        assert -1.0 <= r["cosine_sim"] <= 1.0
+        assert abs(r["cosine_sim"] - exact_all[r["vec_id"]]) < 1e-9
+    sims = [r["cosine_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_textops_match_sql(spark, docs):
+    from riptide_spark.operators.textops import (
+        bpeish_tokens,
+        doc_fingerprint,
+        langid_columns,
+        quality_signal_columns,
+        whitespace_tokens,
+    )
+
+    api = docs.select(
+        "doc_id",
+        whitespace_tokens(F.col("text")).alias("ws_tokens"),
+        bpeish_tokens(F.col("text")).alias("bpe_tokens"),
+    )
+    sql = spark.sql(OQ.spark_sql("token_counts"))
+    assert _rows(api) == _rows(sql)
+
+    api_lang = docs.select("doc_id", F.col("lang").alias("actual_lang"),
+                           *langid_columns(F.col("text")))
+    sql_lang = spark.sql(OQ.spark_sql("langid_stopwords"))
+    assert sorted(api_lang.columns) == sorted(sql_lang.columns)
+    assert _rows(api_lang.select(*sorted(api_lang.columns))) == _rows(
+        sql_lang.select(*sorted(sql_lang.columns))
+    )
+
+    signals = quality_signal_columns(F.col("text"))
+    api_q = docs.select("doc_id", *[c.alias(n) for n, c in signals.items()])
+    sql_q = spark.sql(OQ.spark_sql("text_quality_signals"))
+    assert _rows(api_q.select(*sorted(api_q.columns))) == _rows(
+        sql_q.select(*sorted(sql_q.columns))
+    )
+
+    api_fp = docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+    sql_fp = spark.sql(OQ.spark_sql("doc_fingerprints"))
+    assert _rows(api_fp) == _rows(sql_fp)
+
+
+def test_regex_operator_counts(spark, docs):
+    from riptide_spark.operators.textops import regex_extract_counts
+
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("mail me at u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.org on 2024-03-15 at https://x.example/z for $9.99 "),
+            F.col("text"),
+        ).alias("body"),
+    )
+    out = regex_extract_counts(enriched, "body", "doc_id").collect()
+    for row in out:
+        assert row["n_emails"] >= 1
+        assert row["first_emails"].endswith("@ex.org")
+        assert row["n_iso_dates"] >= 1
+        assert row["n_urls"] >= 1
+        assert row["n_prices"] >= 1
+        assert row["first_phones"] is None  # no match → NULL, not an error
