@@ -65,15 +65,41 @@ class Element:
     Children are either ``Element`` instances or ``str`` text nodes.
     Attribute names are lowercased; for duplicate attributes the first
     occurrence wins. A valueless attribute maps to ``""``.
+
+    ``pos`` is the element's document-order index; the root additionally
+    carries a flat element list + tag index (built once, lazily) so selector
+    queries don't re-walk the tree — the extraction UDF runs dozens of
+    queries per document and this single-pass index is the difference
+    between O(queries × nodes) and O(nodes + matches).
     """
 
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "attrs", "children", "parent", "pos", "_flat", "_tagidx")
 
     def __init__(self, tag: str, attrs: dict[str, str], parent: "Element | None"):
         self.tag = tag
         self.attrs = attrs
         self.children: list[object] = []
         self.parent = parent
+        self.pos = -1
+        self._flat: list["Element"] | None = None
+        self._tagidx: dict[str, list["Element"]] | None = None
+
+    def _ensure_index(self) -> None:
+        if self._flat is not None:
+            return
+        flat: list[Element] = []
+        tagidx: dict[str, list[Element]] = {}
+        stack: list[object] = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, str):
+                continue
+            node.pos = len(flat)
+            flat.append(node)
+            tagidx.setdefault(node.tag, []).append(node)
+            stack.extend(reversed(node.children))
+        self._flat = flat
+        self._tagidx = tagidx
 
     def get(self, name: str) -> str | None:
         return self.attrs.get(name)
@@ -359,18 +385,34 @@ def compile_selector(selector: str) -> _CompiledSelector | None:
     return result
 
 
+def _chain_candidates(root: Element, chain: list[_SimpleSelector]) -> list[Element]:
+    """Candidates for a chain, narrowed by the target's tag when it has one."""
+    last = chain[-1]
+    if last.tag is not None:
+        return root._tagidx.get(last.tag, [])
+    return root._flat
+
+
 def query_selector_all(root: Element, selector: str) -> list[Element]:
     compiled = compile_selector(selector)
     if compiled is None:
         return []
-    return [el for el in root.iter_elements() if compiled.matches(el)]
+    root._ensure_index()
+    if len(compiled.chains) == 1:
+        chain = compiled.chains[0]
+        return [
+            el
+            for el in _chain_candidates(root, chain)
+            if compiled._chain_matches(chain, el)
+        ]
+    seen: dict[int, Element] = {}
+    for chain in compiled.chains:
+        for el in _chain_candidates(root, chain):
+            if el.pos not in seen and compiled._chain_matches(chain, el):
+                seen[el.pos] = el
+    return [seen[pos] for pos in sorted(seen)]
 
 
 def query_selector(root: Element, selector: str) -> Element | None:
-    compiled = compile_selector(selector)
-    if compiled is None:
-        return None
-    for el in root.iter_elements():
-        if compiled.matches(el):
-            return el
-    return None
+    matched = query_selector_all(root, selector)
+    return matched[0] if matched else None

@@ -29,6 +29,13 @@ from ..functions import chunking
 from ..functions.extract import ExtractionInvalid, extract_document
 from ..schema import EXTRACTED_STRUCT
 
+# One-time probe: failed imports are NOT cached by Python, so probing inside
+# the per-row path would rescan sys.path for every PDF row.
+try:  # pragma: no cover - pypdf not in the sandbox image
+    from pypdf import PdfReader as _PdfReader
+except Exception:
+    _PdfReader = None
+
 _EMPTY = {
     "title": None,
     "byline": None,
@@ -61,12 +68,22 @@ def _pdf_row(url: str, html: bytes) -> dict:
     """PDF branch (S7/E18). pdfium isn't in this container; if pypdf is
     importable we parse, else we emit the reference's documented fallback doc
     (``pipeline.rs:744-765``): quality 20, categories [pdf, error]."""
-    try:
+    if _PdfReader is None:
+        row = dict(_EMPTY)
+        row.update(
+            extracted_text="",
+            markdown="",
+            quality_score=20,
+            categories=["pdf", "error"],
+            links=[],
+            media=[],
+            description="Failed to process PDF document",
+        )
+        return {**row, "error": None}
+    try:  # pragma: no cover - requires pypdf
         import io
 
-        from pypdf import PdfReader  # pragma: no cover - not in sandbox image
-
-        reader = PdfReader(io.BytesIO(html))
+        reader = _PdfReader(io.BytesIO(html))
         pages = [page.extract_text() or "" for page in reader.pages]
         text = "\n".join(pages)
         words = len(text.split())

@@ -15,12 +15,14 @@ from pyspark.sql import functions as F
 
 
 def partition_metrics(result: DataFrame, run_id: str) -> DataFrame:
-    """Aggregate the extraction result into one metrics row per task
-    partition. Expects columns: content_mode, error, quality_score,
-    word_count, escalated."""
+    """Aggregate the extraction result into one metrics row per output
+    partition (``url_bucket`` — the engine's unit of lineage). Expects
+    columns: url_bucket, content_mode, error, quality_score, word_count,
+    escalated. Reading back only these columns from the written table is a
+    column-pruned scan, so metrics never re-run the extraction UDF."""
     ok = F.col("error").isNull()
     return (
-        result.withColumn("partition_id", F.spark_partition_id())
+        result.withColumn("partition_id", F.col("url_bucket").cast("int"))
         .groupBy("partition_id")
         .agg(
             F.count(F.lit(1)).alias("docs_total"),

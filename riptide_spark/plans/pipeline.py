@@ -72,6 +72,11 @@ def extraction_plan(pages: DataFrame, config: ExtractionJobConfig) -> DataFrame:
     # Bucketed url-hash partitioning with hot-host salting; one wide shuffle.
     df = with_partitioning(df, buckets=config.buckets, salts=config.salts,
                            hot_hosts=config.hot_hosts)
+    # Prune to exactly what the extraction stage needs BEFORE the shuffle:
+    # the raw `text`/`lang`/`warc_ts` columns and the ten gate feature
+    # columns would otherwise ride the wire for nothing (the text column
+    # alone duplicates the html payload).
+    df = df.select("url", "html", "content_mode", "url_bucket", "salt")
     if config.target_partitions:
         df = repartition_for_extraction(df, config.target_partitions)
 
@@ -117,7 +122,15 @@ def run_extraction_job(
     config: ExtractionJobConfig,
     run_id: str | None = None,
 ) -> RunResult:
-    """Execute the job with idempotent resume and metrics sidecar."""
+    """Execute the job with idempotent resume and metrics sidecar.
+
+    Single-pass design: the UDF output streams straight into the table
+    append (no intermediate cache/checkpoint — one materialization of the
+    expensive stage). The metrics sidecar and the row count are derived by
+    *reading back* the just-written table filtered on the ``run_id``
+    lineage column — a column-pruned scan of five small columns, immune to
+    the cached-plan invalidation that a resume anti-join would otherwise
+    suffer when its source table is appended to."""
     run_id = run_id or uuid.uuid4().hex[:12]
     output = TableIO(spark, config.output_path)
 
@@ -131,27 +144,19 @@ def run_extraction_job(
         if remaining == 0:
             return RunResult(run_id=run_id, rows_written=0, rows_skipped_resume=skipped)
 
-    result = extraction_plan(pages, config)
+    result = extraction_plan(pages, config).withColumn("run_id", F.lit(run_id))
 
-    # Materialize the extraction output once and truncate its lineage: it
-    # feeds both the table append and the metrics sidecar, and (on resume)
-    # its plan contains a scan of the output table itself via the anti-join.
-    # Appending to that path invalidates any *cached* plan that reads it —
-    # localCheckpoint severs the dependency so both consumers read the
-    # already-computed rows. (On a cluster, use reliable checkpointing or
-    # write to a staging table instead.)
-    result = result.localCheckpoint(eager=True)
-    rows = result.count()
     partition_cols = ["url_bucket"] if config.write_partitioned_by_bucket else None
     output.append(
-        result.select(*OUTPUT_COLUMNS, "url_bucket"),
+        result.select(*OUTPUT_COLUMNS, "run_id", "url_bucket"),
         run_id=run_id,
         partition_by=partition_cols,
-        rows=rows,
     )
+
+    written = output.read().filter(F.col("run_id") == run_id)
+    rows = written.count()
     if config.metrics_path:
-        metrics = partition_metrics(result, run_id)
+        metrics = partition_metrics(written, run_id)
         TableIO(spark, config.metrics_path).append(metrics, run_id=run_id)
-    result.unpersist()
 
     return RunResult(run_id=run_id, rows_written=rows, rows_skipped_resume=skipped)

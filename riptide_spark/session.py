@@ -15,9 +15,13 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Documents can be large; cap rows per Arrow batch so a batch of 20 MB pages
-# stays well under executor memory even at 1000 rows default.
-ARROW_MAX_RECORDS = 256
+# Arrow batch sizing for the extraction UDF: bigger batches amortize the
+# JVM↔Python transfer of the html binary column (measured: the transfer, not
+# the Python parse, dominates at small batches). 1024 rows ≈ 5-75 MB at
+# typical crawl page sizes; documents are hard-capped at 20 MB upstream
+# (P3), so the pathological batch is bounded. Tune down via
+# SPARK_GRAFT_ARROW_BATCH on memory-tight executors.
+ARROW_MAX_RECORDS = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "512"))
 
 
 def build_session(
