@@ -145,23 +145,27 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
-    """Identical job, identical input, two parallelism levels, fresh JVMs.
+def run_scaling(sf_dir: str, low: int = 2, high: int = 8, reps: int = 2) -> dict:
+    """Identical job, identical input, two "cluster sizes", fresh JVMs.
 
-    Default pair is local[2] → local[8]: on this box pure-Python throughput
-    scales ~linearly to 8 processes and then degrades from SMT/memory-
-    bandwidth contention (measured: 453 docs/s/proc at 8 procs vs 334 at
-    32), so N=2,4N=8 measures the *engine's* scaling rather than the
-    hardware's. Pass --scale-low/--scale-high to measure other pairs.
+    Each level runs under ``taskset -c 0..N-1`` so JVM + Python workers
+    share exactly N cores — a faithful emulation of an N-core cluster on one
+    box. Without pinning, a "local[2]" JVM spills its scan/shuffle/write
+    threads onto the other 30 cores and over-measures small-N throughput,
+    understating scaling. Best-of-``reps`` per level suppresses the
+    sandbox host's 5-15% CPU-steal noise. Default pair 2→8 stays inside
+    the region where this box's per-core throughput is flat (measured with
+    a pure-Python multiprocessing probe; above ~16 procs SMT/memory
+    bandwidth, not the engine, caps per-core rates).
     """
     results = {}
     for cpus in (low, high):
-        # Best-of-2 per level: the sandbox host shows 5-15% CPU steal, which
-        # would otherwise dominate a single-shot throughput ratio.
         best = None
-        for _ in range(2):
+        pin = ["taskset", "-c", f"0-{cpus - 1}"] if os.path.exists("/usr/bin/taskset") else []
+        for _ in range(reps):
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus), "--sf-dir", sf_dir],
+                pin
+                + [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus), "--sf-dir", sf_dir],
                 capture_output=True,
                 text=True,
                 timeout=3600,
