@@ -552,6 +552,44 @@ def q_cosine_topk(d: Dialect, query_id: int = 0, k: int = 10) -> str:
   LIMIT {k}"""
 
 
+def q_css_transformers(d: Dialect) -> str:
+    """The SQL-expressible subset of the 14 CSS content transformers
+    (css_extraction.rs:89-113,508-607) over deterministic messy strings:
+    trim, normalize_ws, number, currency, date_iso, lowercase, uppercase."""
+    messy = (
+        f"'  Price: $' || {d.s('doc_id % 900 + 100')} || ',' || "
+        f"{d.s('doc_id % 90 + 10')} || '9.99  on ' || "
+        f"{d.s('doc_id % 12 + 1')} || '/' || {d.s('doc_id % 28 + 1')} || "
+        "'/2024   MiXeD   CaSe '"
+    )
+    number = "[-+]?\\d*\\.?\\d+([eE][-+]?\\d+)?"
+    currency = "[$€£¥]?\\s*(\\d+(?:[.,]\\d{3})*(?:[.,]\\d{2})?)"
+    mdy = "(\\d{1,2})/(\\d{1,2})/(\\d{4})"
+    if d.name == "spark":
+        first_num = f"regexp_extract(messy, {d.re(number)}, 0)"
+        currency_amt = f"replace(regexp_extract(messy, {d.re(currency)}, 1), ',', '.')"
+        mm = f"regexp_extract(messy, {d.re(mdy)}, 1)"
+        dd = f"regexp_extract(messy, {d.re(mdy)}, 2)"
+        yy = f"regexp_extract(messy, {d.re(mdy)}, 3)"
+    else:
+        first_num = f"regexp_extract(messy, {d.re(number)}, 0)"
+        currency_amt = f"replace(regexp_extract(messy, {d.re(currency)}, 1), ',', '.')"
+        mm = f"regexp_extract(messy, {d.re(mdy)}, 1)"
+        dd = f"regexp_extract(messy, {d.re(mdy)}, 2)"
+        yy = f"regexp_extract(messy, {d.re(mdy)}, 3)"
+    return f"""
+  WITH messy_rows AS (SELECT doc_id, {messy} AS messy FROM documents)
+  SELECT doc_id,
+    trim(messy) AS t_trim,
+    {d.rre('trim(messy)', chr(92) + 's+', ' ')} AS t_normalize_ws,
+    {first_num} AS t_number,
+    {currency_amt} AS t_currency,
+    {yy} || '-' || lpad({mm}, 2, '0') || '-' || lpad({dd}, 2, '0') AS t_date_iso,
+    lower(messy) AS t_lowercase,
+    upper(messy) AS t_uppercase
+  FROM messy_rows"""
+
+
 def q_multimodal_meta(d: Dialect) -> str:
     """Opaque-binary column plumbing: byte lengths + magic sniff over text
     re-encoded as a binary payload (the image/audio analog at parquet level)."""
@@ -604,6 +642,7 @@ GENERATORS = {
     "events_stats": q_events_stats,
     "events_sessionization": q_sessionization,
     "similarity_cosine_topk": q_cosine_topk,
+    "css_transformers": q_css_transformers,
     "multimodal_binary_meta": q_multimodal_meta,
     "host_skew_stats": q_host_skew,
 }
