@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Cluster entry point: spark-submit --py-files riptide_spark.zip jobs/extract_job.py ...
+
+Runs the extraction pipeline over a pages table (parquet/Iceberg dir) with
+idempotent resume and the metrics sidecar. On a real cluster:
+
+    python jobs/package.py                      # builds dist/riptide_spark.zip
+    spark-submit --master <cluster> \
+        --py-files dist/riptide_spark.zip \
+        jobs/extract_job.py --input <pages_dir> --output <table_dir> \
+        --metrics <metrics_dir> [--synthesize N] [--hot-hosts auto]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", help="pages parquet dir (url, warc_ts, html, text, lang)")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--metrics", default=None)
+    parser.add_argument("--synthesize", type=int, default=0,
+                        help="generate N synthetic pages instead of reading --input")
+    parser.add_argument("--buckets", type=int, default=64)
+    parser.add_argument("--salts", type=int, default=8)
+    parser.add_argument("--partitions", type=int, default=None)
+    parser.add_argument("--hot-hosts", default="",
+                        help="'auto' for a discovery pre-pass, or comma-separated hosts")
+    parser.add_argument("--no-resume", action="store_true")
+    args = parser.parse_args()
+
+    # getOrCreate: under spark-submit the session/master comes from the
+    # launcher; standalone it falls back to the local defaults.
+    spark = SparkSession.builder.appName("riptide-extract").getOrCreate()
+    spark.conf.set("spark.sql.legacy.codingErrorAction", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    from riptide_spark.operators.partitioning import discover_hot_hosts
+    from riptide_spark.plans.pipeline import ExtractionJobConfig, run_extraction_job
+    from riptide_spark.sources.pages import pages_dataframe
+
+    if args.synthesize:
+        pages = pages_dataframe(spark, args.synthesize)
+    else:
+        pages = spark.read.parquet(args.input)
+
+    if args.hot_hosts == "auto":
+        hot_hosts = discover_hot_hosts(pages)
+    elif args.hot_hosts:
+        hot_hosts = [h.strip() for h in args.hot_hosts.split(",") if h.strip()]
+    else:
+        hot_hosts = []
+
+    config = ExtractionJobConfig(
+        output_path=args.output,
+        metrics_path=args.metrics,
+        buckets=args.buckets,
+        salts=args.salts,
+        hot_hosts=hot_hosts,
+        target_partitions=args.partitions,
+        resume=not args.no_resume,
+    )
+    result = run_extraction_job(spark, pages, config)
+    print(
+        f"run_id={result.run_id} written={result.rows_written} "
+        f"skipped_resume={result.rows_skipped_resume} hot_hosts={hot_hosts}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

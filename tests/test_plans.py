@@ -1,0 +1,144 @@
+"""Physical-plan quality gates: the properties that matter at 100 TB.
+
+Each test pins a plan property rather than a timing: filters reach the
+parquet scan (PushedFilters), projections prune the scan (ReadSchema),
+small dims broadcast, the gate stays inside whole-stage codegen, and the
+extraction stage reads only the columns it needs."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from riptide_spark.plans.pipeline import ExtractionJobConfig, extraction_plan, run_extraction_job
+from riptide_spark.schema import PAGES_SCHEMA
+from riptide_spark.sources.catalog import TableIO
+from riptide_spark.sources.pages import synth_pages
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    rows = synth_pages(100, seed=21)
+    spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+        PAGES_SCHEMA,
+    ).write.parquet(path)
+    return path
+
+
+def test_extraction_stage_prunes_input_columns(spark, pages_path):
+    """The UDF stage must not read text/lang/warc_ts from parquet."""
+    pages = spark.read.parquet(pages_path)
+    plan = extraction_plan(pages, ExtractionJobConfig(output_path="", resume=False))
+    formatted = _formatted(plan)
+    read_schema = next(
+        line for line in formatted.splitlines() if "ReadSchema" in line
+    )
+    assert "url" in read_schema and "html" in read_schema
+    assert "warc_ts" not in read_schema
+    assert re.search(r"\btext\b", read_schema) is None
+    assert re.search(r"\blang\b", read_schema) is None
+
+
+def test_size_filter_pushed_to_scan(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    plan = extraction_plan(pages, ExtractionJobConfig(output_path="", resume=False))
+    formatted = _formatted(plan)
+    # octet_length isn't a pushable predicate, but the scan must at least
+    # carry it as a data filter before anything wide happens; assert the
+    # filter sits adjacent to the scan, not after the shuffle.
+    scan_pos = formatted.find("Scan parquet")
+    filter_pos = formatted.find("octet_length")
+    exchange_pos = formatted.find("Exchange")
+    assert filter_pos != -1
+    assert exchange_pos == -1 or filter_pos < exchange_pos
+
+
+def test_gate_is_pure_codegen(spark, pages_path):
+    from riptide_spark.operators.gate_cols import with_gate
+
+    plan = _plan(with_gate(spark.read.parquet(pages_path)))
+    assert "EvalPython" not in plan
+    # "*(n)" marks operators fused into a WholeStageCodegen stage.
+    assert "*(" in plan
+
+
+def test_single_python_stage_in_extraction_plan(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    plan = _plan(extraction_plan(pages, ExtractionJobConfig(output_path="", resume=False)))
+    assert plan.count("ArrowEvalPython") == 1  # exactly one Python stage
+    assert "BatchEvalPython" not in plan  # and no row-at-a-time Python
+
+
+def test_resume_anti_join_reads_only_url(spark, pages_path, tmp_path):
+    cfg = ExtractionJobConfig(output_path=str(tmp_path / "out"), resume=True)
+    pages = spark.read.parquet(pages_path)
+    run_extraction_job(spark, pages, cfg)
+    done = TableIO(spark, cfg.output_path).read().select("url")
+    joined = pages.join(done, "url", "left_anti")
+    formatted = _formatted(joined)
+    # The scan of the output table must read the url column only.
+    scans = [m.start() for m in re.finditer(r"Scan parquet", formatted)]
+    assert len(scans) >= 2
+    out_scan = formatted[scans[-1] :]
+    read_schema_line = next(
+        line for line in out_scan.splitlines() if "ReadSchema" in line
+    )
+    assert "url" in read_schema_line
+    assert "extracted_text" not in read_schema_line
+    assert "spans" not in read_schema_line
+
+
+def test_metrics_readback_prunes_columns(spark, pages_path, tmp_path):
+    cfg = ExtractionJobConfig(
+        output_path=str(tmp_path / "out2"),
+        metrics_path=str(tmp_path / "m2"),
+        resume=False,
+    )
+    run_extraction_job(spark, spark.read.parquet(pages_path), cfg)
+    from riptide_spark.operators.metrics import partition_metrics
+
+    written = TableIO(spark, cfg.output_path).read().filter(F.col("run_id").isNotNull())
+    formatted = _formatted(partition_metrics(written, "r"))
+    read_schema_line = next(
+        line for line in formatted.splitlines() if "ReadSchema" in line
+    )
+    assert "extracted_text" not in read_schema_line
+    assert "links" not in read_schema_line
+    assert "quality_score" in read_schema_line
+
+
+def test_dim_join_broadcasts(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("testdata missing")
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["dim_broadcast_join"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_equality_filter_pushdown_on_output_table(spark, pages_path, tmp_path):
+    cfg = ExtractionJobConfig(output_path=str(tmp_path / "out3"), resume=False)
+    run_extraction_job(spark, spark.read.parquet(pages_path), cfg)
+    out = TableIO(spark, cfg.output_path).read().filter(F.col("content_mode") == "raw")
+    formatted = _formatted(out.select("url"))
+    pushed_line = next(
+        (line for line in formatted.splitlines() if "PushedFilters" in line), ""
+    )
+    assert "content_mode" in pushed_line or "IsNotNull" in pushed_line
