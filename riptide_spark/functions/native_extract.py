@@ -1,0 +1,263 @@
+"""Native DOM-heuristic extraction — the "headless" analog path (E7/E8/E16).
+
+Reimplements the reference's native Rust parser semantics
+(``/root/reference/crates/riptide-extraction/src/native_parser/``): the
+content heuristic that RipTide would run over a rendered DOM when the gate
+routes a page to headless. This is the heavy path the probes-first flow
+escalates to.
+
+Pinned behaviors:
+
+* content ladder (``extractors/content.rs:11-107``): article selectors →
+  main selectors → body; **all** matches per selector, exact-text dedup,
+  joined ``"\\n\\n"``, minimum 100 chars for the first two rungs;
+* clean-text assembly (``content.rs:108-158``): exclusion sets from
+  nav/footer/script/style/noscript, then 15 content selectors appending
+  ``trim() + "\\n"``, skipping text contained in any excluded block;
+* markdown rendering (``content.rs:160-206``): ``# h1``, paragraphs,
+  ``##``-``######`` heading groups in that order;
+* native title priority (``extractors/title.rs:9-82``): og:title →
+  twitter:title → <title> → <h1> (h1 capped at 200 chars);
+* native quality rubric (``quality.rs:7-56``): title 20 / length 40 /
+  markdown structure 20 / words 10 / sentences 10;
+* fallback ladder (``parser.rs:183-216`` + ``fallbacks.rs:12-72``):
+  primary ≥ 60 → full-text fallback ≥ 40 (title "Fallback Extraction",
+  quality 40) → regex tag-strip (title "Simple Extraction", quality 20);
+* reading_time = ``max(words // 200, 1)`` (``parser.rs:130``) — the native
+  200-wpm variant, vs the WASM path's 225-wpm ceil.
+
+The DOM differs from scraper/html5ever only on malformed markup (our engine
+is pinned by the WASM goldens; there are no native-path goldens).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from ..html import dom
+
+_ARTICLE_SELECTORS = (
+    "article",
+    "[role='article']",
+    ".article-content",
+    ".post-content",
+    ".entry-content",
+    "main article",
+)
+_MAIN_SELECTORS = ("main", "[role='main']", ".main-content", "#content")
+_EXCLUDE_SELECTORS = ("nav", "footer", "script", "style", "noscript")
+_CONTENT_SELECTORS = (
+    "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "blockquote",
+    "div", "section", "aside", "code", "pre", "span",
+)
+
+_SCRIPT_BLOCK_RE = re.compile(r"<script[^>]*>.*?</script>", re.DOTALL | re.IGNORECASE)
+_STYLE_BLOCK_RE = re.compile(r"<style[^>]*>.*?</style>", re.DOTALL | re.IGNORECASE)
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def _subtree_query(el: dom.Element, selector: str) -> list[dom.Element]:
+    """Selector matches over the subtree *including* the element itself
+    (the reference re-parses element.html() as a fragment, so the root
+    element participates in matching)."""
+    compiled = dom.compile_selector(selector)
+    if compiled is None:
+        return []
+    matched = [el] if any(
+        compiled._chain_matches(chain, el) for chain in compiled.chains if len(chain) == 1
+    ) else []
+    matched.extend(m for m in dom.query_selector_all(el, selector))
+    return matched
+
+
+def _text_of(el: dom.Element) -> str:
+    return el.inner_text()
+
+
+def extract_clean_text(el: dom.Element) -> str:
+    """content.rs:108-158: exclusion sets then content-selector walk."""
+    excluded: set[str] = set()
+    for selector in _EXCLUDE_SELECTORS:
+        for node in _subtree_query(el, selector):
+            excluded.add(_text_of(node))
+
+    parts: list[str] = []
+    for selector in _CONTENT_SELECTORS:
+        for node in _subtree_query(el, selector):
+            cleaned = _text_of(node).strip()
+            if cleaned and not any(cleaned in ex for ex in excluded):
+                parts.append(cleaned)
+    return "\n".join(parts).strip() if parts else ""
+
+
+def _ladder_rung(root: dom.Element, selectors: tuple[str, ...]) -> str | None:
+    all_content: list[str] = []
+    seen: set[str] = set()
+    for selector in selectors:
+        for el in dom.query_selector_all(root, selector):
+            text = extract_clean_text(el)
+            if text and text not in seen:
+                seen.add(text)
+                all_content.append(text)
+    combined = "\n\n".join(all_content)
+    return combined if len(combined.encode("utf-8")) > 100 else None
+
+
+def extract_native_content(root: dom.Element) -> str | None:
+    """article → main → body content ladder (content.rs:11-107)."""
+    content = _ladder_rung(root, _ARTICLE_SELECTORS)
+    if content is not None:
+        return content
+    content = _ladder_rung(root, _MAIN_SELECTORS)
+    if content is not None:
+        return content
+    body = dom.query_selector(root, "body")
+    if body is not None:
+        text = extract_clean_text(body)
+        if text:
+            return text
+    return None
+
+
+def convert_to_markdown(root: dom.Element) -> str:
+    """content.rs:160-206: # h1, paragraphs, then h2-h6 groups."""
+    out: list[str] = []
+    h1 = dom.query_selector(root, "h1")
+    if h1 is not None:
+        out.append(f"# {h1.inner_text().strip()}\n\n")
+    for p in dom.query_selector_all(root, "p"):
+        cleaned = p.inner_text().strip()
+        if cleaned:
+            out.append(f"{cleaned}\n\n")
+    for level in range(2, 7):
+        for heading in dom.query_selector_all(root, f"h{level}"):
+            cleaned = heading.inner_text().strip()
+            if cleaned:
+                out.append(f"{'#' * level} {cleaned}\n\n")
+    return "".join(out)
+
+
+def extract_native_title(root: dom.Element) -> str | None:
+    """og:title → twitter:title → <title> → <h1> ≤200 (title.rs:9-82)."""
+    node = dom.query_selector(root, "meta[property='og:title']")
+    if node is not None:
+        content = (node.get("content") or "").strip()
+        if content:
+            return content
+    node = dom.query_selector(root, "meta[name='twitter:title']")
+    if node is not None:
+        content = (node.get("content") or "").strip()
+        if content:
+            return content
+    node = dom.query_selector(root, "title")
+    if node is not None:
+        cleaned = node.inner_text().strip()
+        if cleaned:
+            return cleaned
+    node = dom.query_selector(root, "h1")
+    if node is not None:
+        cleaned = node.inner_text().strip()
+        if cleaned and len(cleaned) <= 200:
+            return cleaned
+    return None
+
+
+def native_quality_score(text: str, markdown: str | None, title: str | None) -> int:
+    """quality.rs:7-56 rubric; lengths in UTF-8 bytes (Rust str::len)."""
+    score = 0
+    if title is not None and title.strip():
+        score += 20
+    text_len = len(text.encode("utf-8"))
+    if text_len > 2000:
+        score += 40
+    elif text_len > 500:
+        score += 25
+    elif text_len > 100:
+        score += 10
+    if markdown is not None:
+        indicators = markdown.count("#") + markdown.count("*") + markdown.count("[")
+        if indicators > 10:
+            score += 20
+        elif indicators > 5:
+            score += 12
+        elif indicators > 2:
+            score += 6
+    words = len(text.split())
+    if words > 500:
+        score += 10
+    elif words > 100:
+        score += 5
+    sentences = text.count(".")
+    if sentences > 10:
+        score += 10
+    elif sentences > 3:
+        score += 5
+    return min(score, 100)
+
+
+@dataclass
+class NativeDoc:
+    title: str | None
+    text: str
+    markdown: str | None
+    quality_score: int
+    word_count: int
+    reading_time: int
+    fallback: str | None  # None | "full_content" | "simple_text"
+
+
+def _strip_html_tags(html: str) -> str:
+    """fallbacks.rs:55-72: drop script/style blocks, strip tags, squash ws."""
+    without_scripts = _SCRIPT_BLOCK_RE.sub(" ", html)
+    without_styles = _STYLE_BLOCK_RE.sub(" ", without_scripts)
+    text = _TAG_RE.sub(" ", without_styles)
+    return _WS_RE.sub(" ", text).strip()
+
+
+def extract_native(html: str, url: str, min_quality: int = 15) -> NativeDoc:
+    """parse_headless_html + extract_with_fallbacks (parser.rs:77-216)."""
+    root = dom.parse(html)
+    title = extract_native_title(root)
+    content = extract_native_content(root)
+    if content is not None:
+        markdown = convert_to_markdown(root)
+        quality = native_quality_score(content, markdown, title)
+        if quality >= 60:
+            words = len(content.split())
+            return NativeDoc(
+                title=title,
+                text=content,
+                markdown=markdown,
+                quality_score=quality,
+                word_count=words,
+                reading_time=max(words // 200, 1),
+                fallback=None,
+            )
+    # Fallback 1: full body text (fixed quality 40, passes the ≥40 gate).
+    body = dom.query_selector(root, "body")
+    body_text = body.inner_text().strip() if body is not None else ""
+    if body_text:
+        words = len(body_text.split())
+        return NativeDoc(
+            title="Fallback Extraction",
+            text=body_text,
+            markdown=None,
+            quality_score=40,
+            word_count=words,
+            reading_time=max(words // 200, 1),
+            fallback="full_content",
+        )
+    # Fallback 2: regex tag strip (quality 20).
+    text = _strip_html_tags(html)
+    words = len(text.split())
+    return NativeDoc(
+        title="Simple Extraction",
+        text=text,
+        markdown=None,
+        quality_score=20,
+        word_count=words,
+        reading_time=max(words // 200, 1),
+        fallback="simple_text",
+    )

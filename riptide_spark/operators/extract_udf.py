@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions import chunking
 from ..functions.extract import ExtractionInvalid, extract_document
+from ..functions.native_extract import extract_native
 from ..schema import EXTRACTED_STRUCT
 
 # One-time probe: failed imports are NOT cached by Python, so probing inside
@@ -121,6 +122,22 @@ def _needs_escalation(doc: dict) -> bool:
     return quality < 30 or words < 50 or (quality < 50 and words < 100)
 
 
+def _dom_heuristic_doc(text: str, url: str) -> dict:
+    """The headless-analog path: WASM-contract extraction for the metadata /
+    links / media / language / categories fields, with content, markdown,
+    title and quality replaced by the native DOM-heuristic ladder incl. its
+    fallback strategies (functions/native_extract.py — E7/E8/E16)."""
+    doc = extract_document(text, url, "metadata")
+    native = extract_native(text, url)
+    doc["title"] = native.title if native.title is not None else doc["title"]
+    doc["text"] = native.text
+    doc["markdown"] = native.markdown or ""
+    doc["quality_score"] = native.quality_score
+    doc["word_count"] = native.word_count
+    doc["reading_time"] = native.reading_time
+    return doc
+
+
 def _extract_one(html, url: str, mode: str) -> dict:
     if mode == "pdf":
         return _pdf_row(url, bytes(html) if html is not None else b"")
@@ -129,14 +146,16 @@ def _extract_one(html, url: str, mode: str) -> dict:
     try:
         if mode == "probes_first":
             # Two-phase probe: fast article pass; if the probe looks weak,
-            # escalate to the full-DOM heuristic pass *row-locally*. Doing
+            # escalate to the heavy DOM-heuristic pass *row-locally*. Doing
             # this inside the UDF instead of a second Spark pass avoids a
             # url-keyed shuffle/join at 10^12-row scale — escalation depends
             # only on row-local data, so there is nothing to co-locate.
             doc = extract_document(text, url, "article")
             if _needs_escalation(doc):
-                doc = extract_document(text, url, "full")
+                doc = _dom_heuristic_doc(text, url)
                 escalated = True
+        elif mode == "dom":
+            doc = _dom_heuristic_doc(text, url)
         else:
             doc = extract_document(text, url, mode)
     except ExtractionInvalid as exc:
@@ -180,12 +199,13 @@ def extraction_mode_for_route(content_mode: Column) -> Column:
     """Map the gate decision to the extraction flavor.
 
     raw → fast article path; probes_first → probe-then-escalate (handled
-    row-locally inside the UDF); headless → the full-DOM heuristic path (the
-    analog of extracting from a rendered DOM); pdf → pdf.
+    row-locally inside the UDF); headless → the native DOM-heuristic path
+    (the analog of extracting from a rendered DOM, with the reference's
+    quality-gated fallback ladder); pdf → pdf.
     """
     return (
         F.when(content_mode == "pdf", F.lit("pdf"))
-        .when(content_mode == "headless", F.lit("full"))
+        .when(content_mode == "headless", F.lit("dom"))
         .when(content_mode == "probes_first", F.lit("probes_first"))
         .otherwise(F.lit("article"))
     )

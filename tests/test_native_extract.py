@@ -1,0 +1,135 @@
+"""Native DOM-heuristic path (E7/E8/E16 + fallback ladder)."""
+
+from __future__ import annotations
+
+from riptide_spark.functions.native_extract import (
+    convert_to_markdown,
+    extract_clean_text,
+    extract_native,
+    extract_native_content,
+    extract_native_title,
+    native_quality_score,
+)
+from riptide_spark.html import dom
+
+RICH = """
+<html><head>
+  <title>Tag Title</title>
+  <meta property="og:title" content="OG Title">
+  <meta name="twitter:title" content="TW Title">
+</head><body>
+  <nav><a href="/x">Navigation item that should vanish</a></nav>
+  <article>
+    <h1>Heading One</h1>
+    <p>%s</p>
+    <p>%s</p>
+    <h2>Second</h2>
+    <p>%s</p>
+  </article>
+  <footer>Footer text that should vanish</footer>
+</body></html>
+""" % (
+    "alpha beta gamma delta. " * 30,
+    "epsilon zeta eta theta. " * 30,
+    "iota kappa lambda mu. " * 30,
+)
+
+
+def test_native_title_priority():
+    root = dom.parse(RICH)
+    assert extract_native_title(root) == "OG Title"
+    no_og = dom.parse(RICH.replace('property="og:title"', 'property="x"'))
+    assert extract_native_title(no_og) == "TW Title"
+    plain = dom.parse("<html><head><title> T </title></head><body><h1>H</h1></body></html>")
+    assert extract_native_title(plain) == "T"
+    h1_only = dom.parse("<html><body><h1>H1 Title</h1></body></html>")
+    assert extract_native_title(h1_only) == "H1 Title"
+    long_h1 = dom.parse("<html><body><h1>" + "x" * 250 + "</h1></body></html>")
+    assert extract_native_title(long_h1) is None
+
+
+def test_clean_text_excludes_nav_footer():
+    root = dom.parse(RICH)
+    body = dom.query_selector(root, "body")
+    text = extract_clean_text(body)
+    assert "Navigation item" not in text
+    assert "Footer text" not in text
+    assert "alpha beta gamma" in text
+    assert "Heading One" in text
+
+
+def test_content_ladder_article_first():
+    content = extract_native_content(dom.parse(RICH))
+    assert content is not None
+    assert "alpha beta gamma" in content
+    # A page with only a <main> block still extracts via the second rung.
+    main_only = (
+        "<html><body><main><p>" + ("content words here. " * 20) + "</p></main></body></html>"
+    )
+    content = extract_native_content(dom.parse(main_only))
+    assert content is not None and "content words" in content
+
+
+def test_markdown_rendering_order():
+    md = convert_to_markdown(dom.parse(RICH))
+    assert md.startswith("# Heading One\n\n")
+    assert "## Second\n\n" in md
+    # h1 block first, paragraphs before the h2 group (document of groups).
+    assert md.index("# Heading One") < md.index("alpha beta") < md.index("## Second")
+
+
+def test_native_quality_rubric():
+    text_long = "word " * 600 + "." * 12  # >2000 bytes, >500 words, >10 '.'
+    md = "# t\n\n" + "## s\n\n" * 6  # 13 '#' indicators
+    assert native_quality_score(text_long, md, "Title") == 100
+    assert native_quality_score("", None, None) == 0
+    # title(20) + 100<len≤500 bytes(10); 24 words and 0 sentences score 0.
+    assert native_quality_score("short text over one hundred bytes " * 4, None, "T") == 30
+
+
+def test_fallback_ladder():
+    # Rich page → primary path, quality ≥ 60, no fallback.
+    doc = extract_native(RICH, "https://x.example/")
+    assert doc.fallback is None
+    assert doc.quality_score >= 60
+    assert doc.title == "OG Title"
+
+    # Thin page: primary quality < 60 → full-content fallback (quality 40).
+    thin = "<html><body><div>just a little text here</div></body></html>"
+    doc = extract_native(thin, "https://x.example/")
+    assert doc.fallback == "full_content"
+    assert doc.quality_score == 40
+    assert doc.title == "Fallback Extraction"
+    assert doc.text == "just a little text here"
+
+    # No body at all → regex tag-strip fallback (quality 20).
+    headless = "<html><head><title>T</title></head></html>"
+    doc = extract_native(headless, "https://x.example/")
+    assert doc.fallback == "simple_text"
+    assert doc.quality_score == 20
+    assert doc.title == "Simple Extraction"
+    assert doc.text == "T"
+
+
+def test_reading_time_200wpm_floor():
+    doc = extract_native(RICH, "https://x.example/")
+    assert doc.reading_time == max(doc.word_count // 200, 1)
+
+
+def test_headless_route_uses_dom_path(spark):
+    from pyspark.sql import functions as F
+
+    from riptide_spark.operators.extract_udf import extract_udf
+
+    df = spark.createDataFrame(
+        [("https://x.example/app", RICH.encode(), "dom")],
+        "url string, html binary, mode string",
+    )
+    row = df.select(
+        extract_udf(F.col("html"), F.col("url"), F.col("mode")).alias("ex")
+    ).select("ex.*").collect()[0]
+    assert row["error"] is None
+    assert row["title"] == "OG Title"
+    assert "alpha beta gamma" in row["extracted_text"]
+    assert row["markdown"].startswith("# Heading One")
+    assert "Navigation item" not in row["extracted_text"]
