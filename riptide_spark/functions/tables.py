@@ -1,0 +1,101 @@
+"""HTML table extraction (E20) — headers + rows matrices.
+
+Port of the reference's table extractor
+(``/root/reference/crates/riptide-extraction/src/dom_utils.rs:171-270``):
+
+* modes: all / with-headers (``table:has(th|thead)``) / by-selector /
+  min-size filter;
+* headers from ``thead th`` plus ``th`` cells of a first-child ``tr``
+  (the ``tr:first-child th`` arm, resolved structurally — positional
+  pseudo-classes are outside the pinned selector subset);
+* rows from every ``tr`` (dedup against tbody double-match), skipping
+  th-bearing rows once headers exist; cells = ``td, th`` text trimmed;
+* caption + the table element's attributes as metadata.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..html import dom
+
+
+@dataclass
+class TableData:
+    headers: list[str] = field(default_factory=list)
+    rows: list[list[str]] = field(default_factory=list)
+    caption: str | None = None
+    metadata: dict[str, str] = field(default_factory=dict)
+
+
+def _text(el: dom.Element) -> str:
+    return el.inner_text().strip()
+
+
+def _first_child_element(parent: dom.Element) -> dom.Element | None:
+    for child in parent.children:
+        if not isinstance(child, str):
+            return child
+    return None
+
+
+def _extract_single_table(table: dom.Element) -> TableData:
+    data = TableData(metadata=dict(table.attrs))
+
+    caption = dom.query_selector(table, "caption")
+    if caption is not None:
+        data.caption = _text(caption)
+
+    # Headers: thead th, plus th cells of tr elements that are the first
+    # element child of their parent ("tr:first-child th").
+    headers: list[dom.Element] = list(dom.query_selector_all(table, "thead th"))
+    seen_headers = {id(h) for h in headers}  # pos is subtree-relative; use identity
+    for tr in dom.query_selector_all(table, "tr"):
+        if tr.parent is not None and _first_child_element(tr.parent) is tr:
+            for th in dom.query_selector_all(tr, "th"):
+                if id(th) not in seen_headers:
+                    headers.append(th)
+                    seen_headers.add(id(th))
+    data.headers = [_text(h) for h in headers]
+
+    for tr in dom.query_selector_all(table, "tr"):
+        if data.headers and dom.query_selector(tr, "th") is not None:
+            continue
+        cells = [_text(c) for c in dom.query_selector_all(tr, "td, th")]
+        if cells:
+            data.rows.append(cells)
+    return data
+
+
+def _has_descendant(el: dom.Element, tag: str) -> bool:
+    return any(node.tag == tag for node in el.iter_elements())
+
+
+def extract_tables(
+    html: str,
+    mode: str = "all",
+    selector: str | None = None,
+    min_rows: int = 0,
+    min_cols: int = 0,
+) -> list[TableData]:
+    """mode ∈ {"all", "with_headers", "by_selector", "min_size"}."""
+    root = dom.parse(html)
+    if mode == "by_selector" and selector:
+        candidates = dom.query_selector_all(root, selector)
+    else:
+        candidates = dom.query_selector_all(root, "table")
+
+    out: list[TableData] = []
+    for table in candidates:
+        if mode == "with_headers" and not (
+            _has_descendant(table, "th") or _has_descendant(table, "thead")
+        ):
+            continue
+        data = _extract_single_table(table)
+        if mode == "min_size":
+            if len(data.rows) < min_rows:
+                continue
+            if any(len(row) < min_cols for row in data.rows):
+                continue
+        out.append(data)
+    return out
