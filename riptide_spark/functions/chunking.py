@@ -156,6 +156,218 @@ def sliding_window_chunks(
     return chunks
 
 
+# ---------------------------------------------------------------------------
+# Additional strategies (chunking/{fixed,sentence,regex_chunker,html_aware}.rs)
+# Positions are char offsets over the input (byte==char on ASCII; the
+# reference mixes byte/char indexing — no goldens pin chunker offsets).
+# ---------------------------------------------------------------------------
+
+_SENTENCE_END = (".", "!", "?")
+
+
+def fixed_chunks(
+    text: str,
+    size: int,
+    by_tokens: bool = True,
+    preserve_sentences: bool = True,
+) -> list[Span]:
+    """Fixed-size chunker (chunking/fixed.rs:27-240): char windows (or a
+    4-chars-per-token approximation), snapped back to word then sentence
+    boundaries, whitespace skipped between chunks."""
+    if not text:
+        return []
+    window = size * 4 if by_tokens else size
+    kind_tokens = by_tokens
+
+    chunks: list[Span] = []
+    start = 0
+    index = 0
+    n = len(text)
+    if kind_tokens and n < 10:
+        return [Span(0, n, 0, 1, count_tokens(text), text)]
+    while start < n:
+        end = min(start + window, n)
+        if end < n:
+            segment = text[start:end]
+            ws = max(
+                (i for i, ch in enumerate(segment) if ch.isspace()), default=None
+            )
+            if kind_tokens and ws is not None:
+                end = start + ws
+            if preserve_sentences and end < n:
+                boundaries = [
+                    start + i + 1
+                    for i, ch in enumerate(text[start:end])
+                    if ch in ".!?"
+                ]
+                if boundaries:
+                    end = boundaries[-1]
+        if end <= start:
+            end = min(start + window, n)
+        content = text[start:end]
+        chunks.append(Span(start, end, index, 0, count_tokens(content), content))
+        start = end
+        while start < n and text[start].isspace():
+            start += 1
+        index += 1
+    for chunk in chunks:
+        chunk.total_chunks = len(chunks)
+    return chunks
+
+
+def sentence_chunks(
+    text: str, max_sentences: int = 5, max_tokens: int = DEFAULT_WINDOW
+) -> list[Span]:
+    """Sentence chunker (chunking/sentence.rs:25-80): accumulate sentences
+    until either the sentence or token budget would be exceeded."""
+    if not text:
+        return []
+    sentences = split_sentences(text)
+    chunks: list[Span] = []
+    current: list[str] = []
+    current_tokens = 0
+    start = 0
+    index = 0
+
+    def flush() -> None:
+        nonlocal current, current_tokens, start, index
+        if not current:
+            return
+        content = " ".join(current)
+        end = start + _byte_len(content)
+        chunks.append(Span(start, end, index, 0, current_tokens, content))
+        start = end
+        current = []
+        current_tokens = 0
+        index += 1
+
+    for sentence in sentences:
+        tokens = count_tokens(sentence)
+        if current and (len(current) >= max_sentences or current_tokens + tokens > max_tokens):
+            flush()
+        current.append(sentence)
+        current_tokens += tokens
+    flush()
+    for chunk in chunks:
+        chunk.total_chunks = len(chunks)
+    return chunks
+
+
+def regex_chunks(text: str, pattern: str = r"\n\s*\n", min_chunk_size: int = 50) -> list[Span]:
+    """Regex chunker (chunking/regex_chunker.rs:18-140): split on the
+    pattern, merging undersized splits forward until min_chunk_size."""
+    import re as _re
+
+    if not text:
+        return []
+    try:
+        rx = _re.compile(pattern)
+    except _re.error:
+        rx = _re.compile(r"\n\s*\n")
+    splits = [s for s in rx.split(text)]
+    if len(splits) <= 1:
+        return [Span(0, _byte_len(text), 0, 1, count_tokens(text), text)]
+    chunks: list[Span] = []
+    current = ""
+    pos = 0
+    start = 0
+    index = 0
+    for split in splits:
+        trimmed = split.strip()
+        if not trimmed:
+            pos += len(split)
+            continue
+        if not current:
+            start = pos
+        current = f"{current}\n\n{trimmed}" if current else trimmed
+        pos += len(split)
+        if len(current) >= min_chunk_size:
+            chunks.append(
+                Span(start, start + _byte_len(current), index, 0, count_tokens(current), current)
+            )
+            current = ""
+            index += 1
+    if current:
+        chunks.append(
+            Span(start, start + _byte_len(current), index, 0, count_tokens(current), current)
+        )
+    for chunk in chunks:
+        chunk.total_chunks = len(chunks)
+    return chunks
+
+
+_BLOCK_TAGS = (
+    "article", "section", "main", "header", "footer", "aside",
+    "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "blockquote", "pre",
+)
+
+
+def html_aware_chunks(html: str, max_tokens: int = DEFAULT_WINDOW) -> list[Span]:
+    """HTML-aware chunker (chunking/html_aware.rs:29-120): chunk on
+    block-element boundaries — leaf block texts accumulate until the token
+    budget, never splitting inside a block."""
+    from ..html import dom as _dom
+
+    if not html:
+        return []
+    root = _dom.parse(html)
+    blocks: list[str] = []
+    for el in root.iter_elements():
+        if el.tag in _BLOCK_TAGS:
+            # Leaf blocks only: skip containers that hold other block tags.
+            if any(
+                not isinstance(c, str) and c.tag in _BLOCK_TAGS for c in el.children
+            ):
+                continue
+            text = el.inner_text().strip()
+            if text:
+                blocks.append(text)
+    chunks: list[Span] = []
+    current: list[str] = []
+    current_tokens = 0
+    start = 0
+    index = 0
+    for block in blocks:
+        tokens = count_tokens(block)
+        if current and current_tokens + tokens > max_tokens:
+            content = "\n\n".join(current)
+            end = start + _byte_len(content)
+            chunks.append(Span(start, end, index, 0, current_tokens, content))
+            start = end
+            current = []
+            current_tokens = 0
+            index += 1
+        current.append(block)
+        current_tokens += tokens
+    if current:
+        content = "\n\n".join(current)
+        chunks.append(
+            Span(start, start + _byte_len(content), index, 0, current_tokens, content)
+        )
+    for chunk in chunks:
+        chunk.total_chunks = len(chunks)
+    return chunks
+
+
+def chunk_text(text: str, strategy: str = "sliding", **kwargs) -> list[Span]:
+    """Strategy factory (chunking/mod.rs:150-199). Unknown strategies fall
+    back to the sliding default, like the reference's topic fallback."""
+    if strategy == "fixed":
+        return fixed_chunks(text, kwargs.get("size", 512), kwargs.get("by_tokens", True),
+                            kwargs.get("preserve_sentences", True))
+    if strategy == "sentence":
+        return sentence_chunks(text, kwargs.get("max_sentences", 5),
+                               kwargs.get("max_tokens", DEFAULT_WINDOW))
+    if strategy == "regex":
+        return regex_chunks(text, kwargs.get("pattern", r"\n\s*\n"),
+                            kwargs.get("min_chunk_size", 50))
+    if strategy == "html_aware":
+        return html_aware_chunks(text, kwargs.get("max_tokens", DEFAULT_WINDOW))
+    return sliding_window_chunks(
+        text, kwargs.get("window_size", DEFAULT_WINDOW), kwargs.get("overlap", DEFAULT_OVERLAP)
+    )
+
+
 def spans_for_text(
     text: str, window_size: int = DEFAULT_WINDOW, overlap: int = DEFAULT_OVERLAP
 ) -> list[dict]:

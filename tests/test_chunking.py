@@ -71,3 +71,78 @@ def test_50kb_under_200ms():
     elapsed = time.perf_counter() - start
     assert chunks
     assert elapsed < 0.2, f"50KB chunking took {elapsed*1000:.0f}ms (budget 200ms)"
+
+
+# --- additional strategies (fixed / sentence / regex / html-aware) ---------
+
+from riptide_spark.functions.chunking import (  # noqa: E402
+    chunk_text,
+    fixed_chunks,
+    html_aware_chunks,
+    regex_chunks,
+    sentence_chunks,
+)
+
+
+def test_fixed_chunks_by_chars():
+    text = ("alpha beta gamma delta. " * 40).strip()
+    chunks = fixed_chunks(text, 200, by_tokens=False)
+    assert len(chunks) > 1
+    assert all(c.total_chunks == len(chunks) for c in chunks)
+    # Sentence preservation: every non-final chunk ends at a boundary.
+    assert all(c.content.rstrip().endswith(".") for c in chunks[:-1])
+    # Reassembles (modulo skipped whitespace).
+    assert "".join(c.content for c in chunks).replace(" ", "") == text.replace(" ", "")
+
+
+def test_fixed_chunks_by_tokens_progress():
+    text = "word " * 500
+    chunks = fixed_chunks(text, 50, by_tokens=True)
+    assert len(chunks) > 2
+    assert all(chunks[i].start_pos < chunks[i + 1].start_pos for i in range(len(chunks) - 1))
+
+
+def test_sentence_chunks_budget():
+    text = " ".join(f"This is sentence number {i} ok." for i in range(12))
+    chunks = sentence_chunks(text, max_sentences=4)
+    assert len(chunks) == 3
+    for c in chunks:
+        assert c.content.count(".") == 4
+
+
+def test_regex_chunks_paragraphs():
+    paragraphs = [f"Paragraph {i} with enough text to pass the minimum size gate." for i in range(5)]
+    text = "\n\n".join(paragraphs)
+    chunks = regex_chunks(text, min_chunk_size=10)
+    assert len(chunks) == 5
+    assert [c.chunk_index for c in chunks] == list(range(5))
+    # No pattern match → single chunk.
+    assert len(regex_chunks("single block", min_chunk_size=10)) == 1
+    # Small splits merge forward.
+    merged = regex_chunks("a\n\nb\n\nc", min_chunk_size=100)
+    assert len(merged) == 1 and merged[0].content == "a\n\nb\n\nc"
+
+
+def test_html_aware_chunks_block_boundaries():
+    html = (
+        "<html><body><article>"
+        + "".join(f"<p>{'block text ' * 30}end{i}.</p>" for i in range(10))
+        + "</article></body></html>"
+    )
+    chunks = html_aware_chunks(html, max_tokens=100)
+    assert len(chunks) > 1
+    # Never splits inside a block: each chunk holds whole paragraphs.
+    for c in chunks:
+        assert c.content.startswith("block text")
+        assert c.content.rstrip().endswith((".",))
+
+
+def test_chunk_text_factory():
+    text = "One sentence here ok. Another sentence follows fine. Third one to finish up."
+    assert chunk_text(text, "sliding")
+    assert chunk_text(text, "fixed", size=5)
+    assert chunk_text(text, "sentence", max_sentences=1)
+    assert chunk_text(text, "regex", pattern=r"\. ")
+    assert chunk_text("<html><body><p>%s</p></body></html>" % text, "html_aware")
+    # Unknown strategy → sliding fallback (mod.rs:193-196).
+    assert chunk_text(text, "topic") == chunk_text(text, "sliding")
