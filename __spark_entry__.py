@@ -154,6 +154,66 @@ def _q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_table_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-table → headers/rows matrices (E20) over synthesized pages."""
+    _ensure_lossy_decode(spark)
+    _register_views(spark, sf_dir)
+    from riptide_spark.operators.table_udf import with_tables
+
+    docs = spark.sql(
+        "SELECT doc_id, '<html><body><table><tr><th>k</th><th>v</th></tr>'"
+        " || '<tr><td>lang</td><td>' || lang || '</td></tr>'"
+        " || '<tr><td>chars</td><td>' || CAST(n_chars AS STRING) || '</td></tr>'"
+        " || '</table></body></html>' AS html FROM documents"
+    )
+    out = with_tables(docs)
+    return out.select(
+        "doc_id",
+        F.size("tables").alias("n_tables"),
+        F.element_at(F.col("tables"), 1)["headers"].alias("headers"),
+        F.size(F.element_at(F.col("tables"), 1)["rows"]).alias("n_rows"),
+    )
+
+
+def _q_css_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSS-JSON field extraction with transformers over synthesized pages."""
+    _ensure_lossy_decode(spark)
+    from riptide_spark.functions.css_extract import FieldConfig
+    from riptide_spark.operators.css_udf import with_css_fields
+
+    pages = _pages_from_documents(spark, sf_dir)
+    fields = {
+        "title": FieldConfig(selector="title", transformers=["normalize_ws"]),
+        "heading": FieldConfig(selector="h1", fallbacks=["title"]),
+        "og_title": FieldConfig(selector="meta[property='og:title']"),
+    }
+    out = with_css_fields(pages, fields)
+    return out.select(
+        "url",
+        F.element_at(F.col("css_fields")["title"], 1).alias("title"),
+        F.element_at(F.col("css_fields")["heading"], 1).alias("heading"),
+        F.size(F.coalesce(F.col("css_fields")["og_title"], F.array())).alias("n_og"),
+    )
+
+
+def _q_native_dom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native DOM-heuristic path (headless analog) over every page."""
+    _ensure_lossy_decode(spark)
+    from riptide_spark.operators.extract_udf import extract_udf
+
+    pages = _pages_from_documents(spark, sf_dir)
+    out = pages.withColumn(
+        "ex", extract_udf(F.col("html"), F.col("url"), F.lit("dom"))
+    )
+    return out.select(
+        "url",
+        F.col("ex.title").alias("title"),
+        F.length("ex.extracted_text").alias("text_chars"),
+        F.col("ex.quality_score").alias("quality_score"),
+        F.length(F.coalesce(F.col("ex.markdown"), F.lit(""))).alias("markdown_chars"),
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbours (scale path of ANN)."""
     _ensure_lossy_decode(spark)
@@ -173,6 +233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_pipeline"] = _q_extract_pipeline
     out["chunk_spans"] = _q_chunk_spans
     out["similarity_ann_lsh"] = _q_ann_lsh
+    out["table_extraction"] = _q_table_extraction
+    out["css_field_extraction"] = _q_css_fields
+    out["native_dom_extraction"] = _q_native_dom
     return out
 
 

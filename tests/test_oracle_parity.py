@@ -97,6 +97,13 @@ def test_entry_smoke(spark, contract):
 
 def test_rows_only_queries_run(spark, contract):
     q = contract.queries()
-    for name in ("extract_pipeline", "chunk_spans", "similarity_ann_lsh"):
+    for name in (
+        "extract_pipeline",
+        "chunk_spans",
+        "similarity_ann_lsh",
+        "table_extraction",
+        "css_field_extraction",
+        "native_dom_extraction",
+    ):
         df = q[name](spark, SF_DIR)
         assert df.count() > 0, name
