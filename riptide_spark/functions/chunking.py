@@ -156,6 +156,36 @@ def sliding_window_chunks(
     return chunks
 
 
+_STOP_WORDS = frozenset(
+    "the be to of and a in that have i it for not on with he as you do at this "
+    "but his by from they we say her she or an will my one all would there "
+    "their what so up out if about who get which go me".split()
+)  # chunking/mod.rs:299-305
+
+
+def extract_topic_keywords(text: str, top_k: int = 5) -> list[str]:
+    """Top-k topic keywords by frequency (chunking/mod.rs:269-295): words
+    longer than 3 chars, non-alphanumeric edges stripped, lowercased,
+    stop-words removed. The reference's HashMap iteration makes ties
+    nondeterministic; we pin (count desc, word asc) — same contract as the
+    relational variant (explode → groupBy → count → rank)."""
+    counts: dict[str, int] = {}
+    for word in text.split():
+        if len(word) <= 3:
+            continue
+        # Rust trim_matches(|c| !c.is_alphanumeric()): strip non-alnum edges.
+        start, end = 0, len(word)
+        while start < end and not word[start].isalnum():
+            start += 1
+        while end > start and not word[end - 1].isalnum():
+            end -= 1
+        cleaned = word[start:end].lower()
+        if cleaned and cleaned not in _STOP_WORDS:
+            counts[cleaned] = counts.get(cleaned, 0) + 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [word for word, _ in ranked[:top_k]]
+
+
 # ---------------------------------------------------------------------------
 # Additional strategies (chunking/{fixed,sentence,regex_chunker,html_aware}.rs)
 # Positions are char offsets over the input (byte==char on ASCII; the

@@ -142,6 +142,20 @@ def _extract_one(html, url: str, mode: str) -> dict:
     if mode == "pdf":
         return _pdf_row(url, bytes(html) if html is not None else b"")
     text = _decode_lossy(html)
+    if mode == "skip":
+        # P10 skip_extraction passthrough (pipeline.rs:382-404): raw page
+        # text as-is, no parsing, no enrichment.
+        return {
+            **_EMPTY,
+            "extracted_text": text,
+            "markdown": "",
+            "word_count": len(text.split()),
+            "links": [],
+            "media": [],
+            "categories": [],
+            "spans": [],
+            "error": None,
+        }
     escalated = False
     try:
         if mode == "probes_first":

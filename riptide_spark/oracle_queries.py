@@ -552,6 +552,81 @@ def q_cosine_topk(d: Dialect, query_id: int = 0, k: int = 10) -> str:
   LIMIT {k}"""
 
 
+def q_topic_keywords(d: Dialect) -> str:
+    """A6: top-5 topic keywords per document (chunking/mod.rs:269-308) as
+    explode → groupBy → count → window rank ≤ 5. Ties pinned to
+    (count desc, word asc) — the reference's HashMap makes ties random."""
+    from .functions.chunking import _STOP_WORDS
+
+    stoplist = ", ".join(f"'{w}'" for w in sorted(_STOP_WORDS))
+    if d.name == "spark":
+        exploded = f"SELECT doc_id, explode({d.split_ws('text')}) AS word FROM documents"
+    else:
+        exploded = f"SELECT doc_id, unnest({d.split_ws('text')}) AS word FROM documents"
+    cleaned = d.rre("word", "^[^a-zA-Z0-9]+|[^a-zA-Z0-9]+$")
+    return f"""
+  WITH exploded AS ({exploded}),
+  words AS (
+    SELECT doc_id, lower({cleaned}) AS w FROM exploded WHERE length(word) > 3
+  ),
+  filtered AS (SELECT doc_id, w FROM words WHERE w <> '' AND w NOT IN ({stoplist})),
+  counts AS (SELECT doc_id, w, COUNT(*) AS n FROM filtered GROUP BY doc_id, w),
+  ranked AS (
+    SELECT doc_id, w, n,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, w ASC) AS rk
+    FROM counts
+  )
+  SELECT doc_id, w AS keyword, CAST(n AS BIGINT) AS n, CAST(rk AS INT) AS rk
+  FROM ranked WHERE rk <= 5"""
+
+
+def q_engine_selection(d: Dialect) -> str:
+    """P9 engine-selection v2 signals + decision (engine_selection.rs:232-314)
+    over synthesized pages: framework/SPA/anti-scraping flags, content
+    ratio, probe-first routing."""
+    if d.name == "spark":
+        parts = "slice(split(html, '<'), 2, greatest(size(split(html, '<')) - 1, 0))"
+        between = (
+            f"array_join(transform({parts}, p -> CASE WHEN size(split(p, '>')) >= 2 "
+            "THEN element_at(split(p, '>'), 2) ELSE '' END), '')"
+        )
+    else:
+        parts = "string_split(html, '<')[2:]"
+        between = (
+            f"array_to_string(list_transform({parts}, p -> CASE WHEN len(string_split(p, '>')) >= 2 "
+            "THEN string_split(p, '>')[2] ELSE '' END), '')"
+        )
+    flags = {
+        "has_react": ("__next_data__", "_reactroot", "data-reactroot", "__webpack_require__"),
+        "has_vue": ("v-app", "createapp(", "data-vue-app"),
+        "has_angular": ("ng-app", "ng-version", "platformbrowserdynamic", "[ngclass]"),
+        "has_spa_markers": ("<!-- rendered by", "__webpack", "window.__initial_state__", "data-react-helmet"),
+        "has_anti_scraping": ("cloudflare", "cf-browser-verification", "grecaptcha", "hcaptcha", "perimeterx"),
+    }
+    flag_cols = []
+    for name, needles in flags.items():
+        cond = " OR ".join(
+            f"instr(lower(html), '{needle.replace(chr(39), chr(39) * 2)}') > 0"
+            for needle in needles
+        )
+        flag_cols.append(f"CAST(CASE WHEN {cond} THEN 1 ELSE 0 END AS INT) AS {name}")
+    ratio = (
+        f"CAST(ROUND(CASE WHEN length(html) = 0 THEN 0.0 "
+        f"ELSE length(trim({between})) * 1.0 / length(html) END, 6) AS DOUBLE)"
+    )
+    return pages_cte(d) + f""",
+  signals AS (
+    SELECT doc_id, {', '.join(flag_cols)}, {ratio} AS content_ratio FROM pages
+  )
+  SELECT doc_id, has_react, has_vue, has_angular, has_spa_markers, has_anti_scraping,
+         content_ratio,
+         CASE WHEN has_anti_scraping = 1 THEN 'headless'
+              WHEN has_react = 1 OR has_vue = 1 OR has_angular = 1 OR has_spa_markers = 1 THEN 'wasm'
+              WHEN content_ratio < 0.1 THEN 'wasm'
+              ELSE 'wasm' END AS engine
+  FROM signals"""
+
+
 def q_css_transformers(d: Dialect) -> str:
     """The SQL-expressible subset of the 14 CSS content transformers
     (css_extraction.rs:89-113,508-607) over deterministic messy strings:
@@ -643,6 +718,8 @@ GENERATORS = {
     "events_sessionization": q_sessionization,
     "similarity_cosine_topk": q_cosine_topk,
     "css_transformers": q_css_transformers,
+    "topic_keywords": q_topic_keywords,
+    "engine_selection": q_engine_selection,
     "multimodal_binary_meta": q_multimodal_meta,
     "host_skew_stats": q_host_skew,
 }
