@@ -196,3 +196,42 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "d
     return df.select(
         F.col(id_col), simhash_fingerprint(F.col(text_col), bits).alias("simhash")
     )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = True,
+    planes: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+
+    Scale path (default): random-hyperplane LSH signatures block the
+    self-join — only rows sharing a bucket are compared, O(rows²/buckets)
+    instead of O(rows²). Exact cosine re-ranks inside the bucket. With
+    ``use_lsh=False`` the join is the exact O(n²) baseline (the oracle
+    shape). Near-identical vectors agree on every hyperplane sign, so LSH
+    recall on true near-duplicates is ~1 by construction.
+    """
+    from .similarity import cosine, lsh_signature
+
+    vec = F.col(vec_col).cast("array<double>")
+    if use_lsh:
+        with_sig = df.select(
+            F.col(id_col), vec.alias("v"), lsh_signature(vec, planes).alias("bucket")
+        )
+        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+    else:
+        with_sig = df.select(F.col(id_col), vec.alias("v"))
+        join_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    pairs = with_sig.alias("a").join(with_sig.alias("b"), join_cond)
+    scored = pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).cast("double").alias("cosine_sim"),
+    )
+    return scored.filter(F.col("cosine_sim") >= threshold)

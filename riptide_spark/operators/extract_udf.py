@@ -21,6 +21,8 @@ cache, ``wasm_extraction.rs:361-389``).
 
 from __future__ import annotations
 
+import time
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -54,6 +56,7 @@ _EMPTY = {
     "description": None,
     "spans": None,
     "escalated": False,
+    "extract_ms": None,
 }
 
 
@@ -205,7 +208,14 @@ def extract_udf(html: pd.Series, url: pd.Series, mode: pd.Series) -> pd.DataFram
     flavor ('article' fast path, 'full' DOM-heuristic path for headless-routed
     documents, 'metadata', 'pdf').
     """
-    rows = [_extract_one(h, u, m) for h, u, m in zip(html, url, mode)]
+    rows = []
+    for h, u, m in zip(html, url, mode):
+        started = time.perf_counter()
+        row = _extract_one(h, u, m)
+        # Per-document phase timing (A2 metrics; ExtractionStats analog of
+        # wit extract-with-stats).
+        row["extract_ms"] = round((time.perf_counter() - started) * 1000.0, 3)
+        rows.append(row)
     return pd.DataFrame(rows, columns=list(EXTRACTED_STRUCT.fieldNames()))
 
 

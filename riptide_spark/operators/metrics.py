@@ -40,6 +40,7 @@ def partition_metrics(result: DataFrame, run_id: str) -> DataFrame:
                 "escalated"
             ),
             F.avg("quality_score").alias("avg_quality"),
+            F.avg("extract_ms").alias("avg_extract_ms"),
             F.sum(F.coalesce(F.col("word_count"), F.lit(0)).cast("long")).alias(
                 "total_words"
             ),
@@ -57,6 +58,7 @@ def partition_metrics(result: DataFrame, run_id: str) -> DataFrame:
             "decision_pdf",
             "escalated",
             "avg_quality",
+            "avg_extract_ms",
             "total_words",
         )
     )

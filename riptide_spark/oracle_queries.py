@@ -382,6 +382,33 @@ def q_ngram_jaccard(d: Dialect, k: int = 3, threshold: float = 0.8) -> str:
   WHERE shared * 1.0 / (na.n + nb.n - shared) >= {threshold}"""
 
 
+def q_dedup_embedding(d: Dialect, threshold: float = 0.95) -> str:
+    """Embedding-cosine near-dup pairs (exact O(n²) baseline shape; the
+    operators/dedup.py LSH-blocked variant is the scale path)."""
+    if d.name == "spark":
+        vec = "CAST(embedding AS ARRAY<DOUBLE>)"
+        dot = (
+            "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        norm_a = "sqrt(aggregate(zip_with(a.v, a.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+        norm_b = "sqrt(aggregate(zip_with(b.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    else:
+        vec = "embedding::DOUBLE[]"
+        dot = "list_dot_product(a.v, b.v)"
+        norm_a = "sqrt(list_dot_product(a.v, a.v))"
+        norm_b = "sqrt(list_dot_product(b.v, b.v))"
+    return f"""
+  WITH corpus AS (
+    SELECT vec_id, {vec} AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, {vec} AS v FROM embeddings WHERE vec_id % 25 = 0
+  )
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(ROUND({dot} / ({norm_a} * {norm_b}), 6) AS DOUBLE) AS cosine_sim
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE {dot} / ({norm_a} * {norm_b}) >= {threshold}"""
+
+
 def q_simhash(d: Dialect, bits: int = 16) -> str:
     """16-bit sign-vote SimHash fingerprints."""
     words = d.split_ws("lower(text)")
@@ -706,6 +733,7 @@ GENERATORS = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_candidate_pairs": q_minhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard,
+    "dedup_embedding_cosine": q_dedup_embedding,
     "simhash_fingerprints": q_simhash,
     "token_counts": q_token_counts,
     "langid_stopwords": q_langid,

@@ -102,6 +102,7 @@ def extraction_plan(pages: DataFrame, config: ExtractionJobConfig) -> DataFrame:
         F.col("ex.site_name").alias("site_name"),
         F.col("ex.description").alias("description"),
         F.col("ex.escalated").alias("escalated"),
+        F.col("ex.extract_ms").alias("extract_ms"),
         F.col("ex.error").alias("error"),
         "url_bucket",
         "salt",

@@ -54,6 +54,7 @@ EXTRACTED_STRUCT = T.StructType(
         T.StructField("description", T.StringType(), True),
         T.StructField("spans", T.ArrayType(SPAN_TYPE), True),
         T.StructField("escalated", T.BooleanType(), True),
+        T.StructField("extract_ms", T.DoubleType(), True),
         T.StructField("error", T.StringType(), True),
     ]
 )
@@ -78,6 +79,7 @@ OUTPUT_COLUMNS = [
     "site_name",
     "description",
     "escalated",
+    "extract_ms",
     "error",
 ]
 
@@ -94,6 +96,7 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("decision_pdf", T.LongType(), False),
         T.StructField("escalated", T.LongType(), False),
         T.StructField("avg_quality", T.DoubleType(), True),
+        T.StructField("avg_extract_ms", T.DoubleType(), True),
         T.StructField("total_words", T.LongType(), False),
     ]
 )

@@ -187,3 +187,32 @@ def test_regex_operator_counts(spark, docs):
         assert row["n_urls"] >= 1
         assert row["n_prices"] >= 1
         assert row["first_phones"] is None  # no match → NULL, not an error
+
+
+def test_embedding_near_duplicates_lsh_vs_exact(spark, embeddings):
+    from riptide_spark.operators.dedup import embedding_near_duplicates
+
+    corpus = embeddings.select("vec_id", "embedding").unionAll(
+        embeddings.filter(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(corpus, use_lsh=False).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(corpus, use_lsh=True).collect()
+    }
+    injected = {
+        (r["vec_id"], r["vec_id"] + 100000)
+        for r in embeddings.filter(F.col("vec_id") % 25 == 0).collect()
+    }
+    # Every injected exact duplicate is found by both paths (identical
+    # vectors share every hyperplane sign → LSH recall 1 on true dups).
+    assert injected <= exact
+    assert injected <= lsh
+    # LSH candidates are a subset of the exact result (no false positives
+    # survive the exact re-score).
+    assert lsh <= exact
