@@ -83,6 +83,19 @@ def with_partitioning(
 def repartition_for_extraction(
     df: DataFrame, target_partitions: int, url_col: str = "url"
 ) -> DataFrame:
-    """Shuffle-key = (url_bucket, salt): spreads hot hosts across tasks while
-    keeping the layout deterministic. Requires with_partitioning first."""
+    """Shuffle-key = (url_bucket, salt). For url-keyed work the url hash is
+    already uniform across hosts; the salt column matters for host-keyed
+    stages (see :func:`repartition_by_host`) and rides along here so the
+    written layout carries it. Requires with_partitioning first."""
     return df.repartition(target_partitions, F.col("url_bucket"), F.col("salt"))
+
+
+def repartition_by_host(
+    df: DataFrame, target_partitions: int, url_col: str = "url"
+) -> DataFrame:
+    """Host-keyed co-location WITH skew salting: stages that group or join
+    by host (per-host metrics, politeness windows, per-host dedup) would
+    put an entire hot host in one task; folding the deterministic salt into
+    the shuffle key splits a hot host across its salt buckets while cold
+    hosts (salt 0) stay fully co-located. Requires with_partitioning."""
+    return df.repartition(target_partitions, host_column(url_col), F.col("salt"))

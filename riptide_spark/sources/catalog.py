@@ -48,7 +48,25 @@ class TableIO:
 
     # -- metadata ---------------------------------------------------------
     def exists(self) -> bool:
-        return os.path.isdir(self.data_path) and bool(self.manifests())
+        """True iff the table has any data files — deliberately NOT gated on
+        a committed manifest: a crash between the data write and the
+        manifest commit must still make the next run's anti-join see the
+        orphaned rows (they are valid extractions), otherwise the rerun
+        would duplicate them. Manifests are lineage, not the liveness
+        signal."""
+        if not os.path.isdir(self.data_path):
+            return False
+        try:
+            return any(
+                name.endswith(".parquet")
+                for name in os.listdir(self.data_path)
+            ) or any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(self.data_path)
+                for f in files
+            )
+        except OSError:
+            return False
 
     def manifests(self) -> list[Manifest]:
         if not os.path.isdir(self.manifest_dir):

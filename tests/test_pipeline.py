@@ -210,3 +210,64 @@ def test_escalation_probes_first(spark):
     assert row["escalated"] is True
     # Escalated result is the full-body pass, so it includes the div text.
     assert "extra body content" in row["extracted_text"]
+
+
+def test_crash_between_data_and_manifest_does_not_duplicate(spark, tmp_path):
+    """Simulate a crash after the data write but before the manifest commit:
+    the orphaned rows must still be seen by the next run's anti-join
+    (write-then-commit ordering guarantees no duplicates, no loss)."""
+    import os
+
+    cfg = ExtractionJobConfig(output_path=str(tmp_path / "out"), resume=True)
+    pages = _pages_df(spark, n=60)
+    run_extraction_job(spark, pages, cfg)
+
+    # Wipe the manifests — as if the process died before committing.
+    manifest_dir = os.path.join(cfg.output_path, "_manifests")
+    for name in os.listdir(manifest_dir):
+        os.remove(os.path.join(manifest_dir, name))
+
+    rerun = run_extraction_job(spark, _pages_df(spark, n=60), cfg)
+    assert rerun.rows_written == 0
+    assert rerun.rows_skipped_resume == 60
+    out = TableIO(spark, cfg.output_path).read()
+    assert out.count() == 60
+    assert out.select("url").distinct().count() == 60
+
+
+def test_salting_spreads_hot_host_in_host_keyed_shuffle(spark):
+    """Host-keyed stages (per-host metrics/joins) put a hot host in ONE task
+    unless salted; the deterministic salt must split it across tasks while
+    keeping cold hosts co-located (the skew lever of the north rule).
+    Url-keyed shuffles need no salt — the url hash is already uniform."""
+    from riptide_spark.operators.partitioning import (
+        repartition_by_host,
+        with_partitioning,
+    )
+
+    rows = [(f"https://hot.example.com/page-{i}", b"<html></html>") for i in range(400)]
+    rows += [(f"https://cold-{i}.example.org/x", b"<html></html>") for i in range(40)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+
+    def hot_partition_spread(hot_hosts):
+        parted = repartition_by_host(
+            with_partitioning(df, hot_hosts=hot_hosts, buckets=4, salts=8), 16
+        )
+        counts = (
+            parted.filter(F.col("url").contains("hot.example.com"))
+            .withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        return {r["pid"]: r["count"] for r in counts}
+
+    unsalted = hot_partition_spread([])
+    salted = hot_partition_spread(["hot.example.com"])
+    # Unsalted: the whole hot host in a single task partition.
+    assert len(unsalted) == 1
+    # Salted: split across multiple tasks with a much smaller maximum.
+    assert len(salted) > 1
+    assert max(salted.values()) < max(unsalted.values()) / 2
+    # Determinism: same url → same salt on rerun.
+    assert salted == hot_partition_spread(["hot.example.com"])
