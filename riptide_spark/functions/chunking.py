@@ -382,6 +382,18 @@ def html_aware_chunks(html: str, max_tokens: int = DEFAULT_WINDOW) -> list[Span]
 def chunk_text(text: str, strategy: str = "sliding", **kwargs) -> list[Span]:
     """Strategy factory (chunking/mod.rs:150-199). Unknown strategies fall
     back to the sliding default, like the reference's topic fallback."""
+    if strategy == "topic":
+        # Opt-in gate mirrors ChunkingMode::Topic{topic_chunking} (mod.rs:183-196):
+        # disabled → sliding(1000, 100).
+        if kwargs.get("topic_chunking", True):
+            from .topic_chunking import topic_chunks
+
+            return topic_chunks(
+                text,
+                kwargs.get("window_size", 3),
+                kwargs.get("smoothing_passes", 2),
+            )
+        return sliding_window_chunks(text, 1000, 100)
     if strategy == "fixed":
         return fixed_chunks(text, kwargs.get("size", 512), kwargs.get("by_tokens", True),
                             kwargs.get("preserve_sentences", True))

@@ -144,5 +144,150 @@ def test_chunk_text_factory():
     assert chunk_text(text, "sentence", max_sentences=1)
     assert chunk_text(text, "regex", pattern=r"\. ")
     assert chunk_text("<html><body><p>%s</p></body></html>" % text, "html_aware")
-    # Unknown strategy → sliding fallback (mod.rs:193-196).
-    assert chunk_text(text, "topic") == chunk_text(text, "sliding")
+    # Topic disabled → sliding(1000,100) fallback (mod.rs:190-196).
+    assert chunk_text(text, "topic", topic_chunking=False) == chunk_text(text, "sliding")
+    # Unknown strategy → sliding fallback.
+    assert chunk_text(text, "nope") == chunk_text(text, "sliding")
+
+
+# ---------------------------------------------------------------------------
+# Topic (TextTiling) chunker — mirrors topic.rs:801-958 inline tests.
+# ---------------------------------------------------------------------------
+
+from riptide_spark.functions.topic_chunking import (  # noqa: E402
+    calculate_depth_scores,
+    extract_vocabulary,
+    identify_boundaries,
+    smooth_scores,
+    tokenize_pseudo_sentences,
+    topic_chunks,
+    topic_quality_score,
+)
+from riptide_spark.functions.topic_chunking import (  # noqa: E402
+    _cosine_similarity,
+)
+
+
+def test_topic_chunking_basic():
+    # topic.rs:806-826
+    text = (
+        "Introduction to machine learning. Machine learning is a subset of "
+        "artificial intelligence. It focuses on algorithms that learn from data. "
+        "Deep learning is a special case. Deep learning uses neural networks "
+        "with many layers. These networks can learn complex patterns. "
+        "Natural language processing is another field. NLP deals with text and "
+        "speech. It helps computers understand human language."
+    )
+    chunks = topic_chunks(text, window_size=3, smoothing_passes=2)
+    assert chunks
+    for c in chunks:
+        assert c.content
+        assert c.end_pos - c.start_pos == len(c.content.encode("utf-8"))
+    assert [c.chunk_index for c in chunks] == list(range(len(chunks)))
+    assert all(c.total_chunks == len(chunks) for c in chunks)
+
+
+def test_topic_short_text_single_chunk():
+    # topic.rs:828-839 — fewer sentences than 2*window_size → one chunk.
+    chunks = topic_chunks("Short text.", window_size=5, smoothing_passes=2)
+    assert len(chunks) == 1
+    assert chunks[0].content == "Short text."
+
+
+def test_topic_performance_50kb():
+    # topic.rs:841-884 — 50 KB topic-diverse text in <200 ms, non-empty chunks.
+    topics = [
+        "Machine learning algorithms and artificial intelligence systems",
+        "Climate change effects on global weather patterns and ecosystems",
+        "Economic policies and their impact on international trade relations",
+        "Advances in quantum computing and cryptographic security measures",
+        "Social media influence on modern communication and society",
+    ]
+    text = ""
+    while len(text) < 50_000:
+        for topic in topics:
+            text += (
+                f"{topic}. This topic involves many complex concepts and ideas. "
+                "Research in this area has shown significant progress. "
+                "Scientists and experts continue to explore new possibilities. "
+                "The implications of these developments are far-reaching. "
+            )
+    start = time.monotonic()
+    chunks = topic_chunks(text, window_size=3, smoothing_passes=2)
+    elapsed_ms = (time.monotonic() - start) * 1000
+    assert chunks
+    assert elapsed_ms < 200, f"topic chunking took {elapsed_ms:.0f}ms (target <200ms)"
+
+
+def test_topic_vocabulary_extraction():
+    # topic.rs:886-898
+    vocab = extract_vocabulary("Machine learning algorithms process data efficiently")
+    assert "machine" in vocab
+    assert "learning" in vocab
+    assert "algorithms" in vocab
+    assert "the" not in vocab
+
+
+def test_topic_cosine_similarity_ordering():
+    # topic.rs:900-917
+    v1 = extract_vocabulary("machine learning algorithms")
+    v2 = extract_vocabulary("machine learning systems")
+    v3 = extract_vocabulary("weather climate patterns")
+    assert _cosine_similarity(v1, v2) > _cosine_similarity(v1, v3)
+    assert _cosine_similarity(v1, v2) > 0.0
+
+
+def test_topic_depth_scores_shape_and_boundaries():
+    # topic.rs:919-957 — window_size=2, 8 sentences → 4 depth scores.
+    sentences = [
+        "Machine learning is complex technology.",
+        "Algorithms process data efficiently using computational methods.",
+        "Neural networks learn patterns from training data sets.",
+        "Deep learning uses multiple layers for feature extraction.",
+        "Climate change affects weather patterns around the world.",
+        "Global warming increases temperatures causing environmental shifts.",
+        "Environmental policies are important for sustainable development.",
+        "Green energy solutions reduce carbon emissions significantly.",
+    ]
+    scores = calculate_depth_scores(sentences, window_size=2)
+    assert len(scores) == len(sentences) - 2 * 2
+    smoothed = smooth_scores(scores, passes=1)
+    assert len(smoothed) == len(scores)
+    boundaries = identify_boundaries(smoothed, sentences, window_size=2)
+    for b in boundaries:
+        assert b < len(sentences)
+
+
+def test_topic_pseudo_sentences_cap_20_words():
+    # topic.rs:101-111 — unpunctuated streams break every 20 words.
+    text = " ".join(["word"] * 45)
+    sentences = tokenize_pseudo_sentences(text)
+    assert [len(s.split()) for s in sentences] == [20, 20, 5]
+
+
+def test_topic_quality_score_bounds():
+    # topic.rs:654-675
+    kw = ["machine", "learning"]
+    content = (
+        "Machine learning is great technology today. It learns from data "
+        "quickly and well. Models improve with more data over time."
+    )
+    score = topic_quality_score(content, kw)
+    assert 0.5 < score <= 1.0
+    assert topic_quality_score("x", []) >= 0.5
+
+
+def test_topic_deterministic():
+    # Determinism contract (our deviation note): same text → same chunks.
+    text = (
+        "Machine learning is a field of study. It uses data to learn patterns. "
+        "Algorithms improve with experience over time. "
+    ) * 10 + (
+        "Climate change is a global challenge. Temperatures rise every decade "
+        "now. Policies must adapt to the changing environment. "
+    ) * 10
+    a = topic_chunks(text)
+    b = topic_chunks(text)
+    assert [(c.start_pos, c.end_pos, c.content) for c in a] == [
+        (c.start_pos, c.end_pos, c.content) for c in b
+    ]
