@@ -197,6 +197,91 @@ def native_quality_score(text: str, markdown: str | None, title: str | None) -> 
     return min(score, 100)
 
 
+# ---------------------------------------------------------------------------
+# Native-path link/media extractors (E9'/E10')
+# ---------------------------------------------------------------------------
+
+_LINK_EXCLUDED_PATTERNS = ("#", "javascript:", "mailto:", "tel:", ".pdf", ".zip", ".exe")
+_MEDIA_EXTENSIONS = (
+    ".jpg", ".jpeg", ".png", ".gif", ".webp", ".svg",
+    ".mp4", ".webm", ".ogg", ".mov",
+)
+
+
+def _is_valid_native_link(url: str) -> bool:
+    """extractors/links.rs:38-62 — http(s) only, substring-excluded patterns.
+    (The reference checks ``url.contains(pattern)``, so a '#' anywhere — i.e.
+    any fragment — rejects the whole URL, not just bare-fragment hrefs.)"""
+    if not url.startswith(("http://", "https://")):
+        return False
+    return not any(p in url for p in _LINK_EXCLUDED_PATTERNS)
+
+
+def _is_valid_media_url(url: str) -> bool:
+    """extractors/media.rs:55-73 — data: always ok; else http(s) AND a known
+    media extension appearing anywhere in the lowercased URL."""
+    if url.startswith("data:"):
+        return True
+    if not url.startswith(("http://", "https://")):
+        return False
+    lowered = url.lower()
+    return any(ext in lowered for ext in _MEDIA_EXTENSIONS)
+
+
+def extract_native_links(root: dom.Element, base_url: str) -> list[str]:
+    """Native link extractor (extractors/links.rs:11-36): a[href], resolved
+    against base, filtered, HashSet-deduped. The reference's HashSet iteration
+    order is nondeterministic (SURVEY §2.5 A5); we pin sorted order so a
+    retried Spark task reproduces identical rows."""
+    from ..html.urls import resolve_url
+
+    links: set[str] = set()
+    base_ok = True
+    try:
+        from urllib.parse import urlsplit
+
+        base_ok = bool(urlsplit(base_url).scheme)
+    except ValueError:
+        base_ok = False
+    for el in dom.query_selector_all(root, "a[href]"):
+        href = el.get("href")
+        if href is None:
+            continue
+        resolved = resolve_url(base_url, href) if base_ok else href
+        if resolved is not None and _is_valid_native_link(resolved):
+            links.add(resolved)
+    return sorted(links)
+
+
+def extract_native_media(root: dom.Element, base_url: str) -> list[str]:
+    """Native media extractor (extractors/media.rs:10-53): img[src] then
+    video source[src] / video[src], resolved against base, filtered; document
+    order preserved, duplicates kept (the reference uses a Vec, not a set)."""
+    from ..html.urls import resolve_url
+
+    media: list[str] = []
+
+    def _collect(elements: list[dom.Element]) -> None:
+        for el in elements:
+            src = el.get("src")
+            if src is None:
+                continue
+            # Url::join passes absolute data: URLs through unchanged, and
+            # media.rs:57 accepts them; resolve_url is http(s)-only.
+            if src.startswith("data:"):
+                media.append(src)
+                continue
+            resolved = resolve_url(base_url, src)
+            if resolved is not None and _is_valid_media_url(resolved):
+                media.append(resolved)
+
+    _collect(dom.query_selector_all(root, "img[src]"))
+    # Comma selector so matches arrive in document order across both
+    # alternatives, as scraper's union iteration does (media.rs:34).
+    _collect(dom.query_selector_all(root, "video source[src], video[src]"))
+    return media
+
+
 @dataclass
 class NativeDoc:
     title: str | None
@@ -206,6 +291,10 @@ class NativeDoc:
     word_count: int
     reading_time: int
     fallback: str | None  # None | "full_content" | "simple_text"
+    # Primary path only; fallback docs are ..Default::default() in the
+    # reference (fallbacks.rs:19-41) → empty lists.
+    links: list[str] | None = None
+    media: list[str] | None = None
 
 
 def _strip_html_tags(html: str) -> str:
@@ -234,6 +323,8 @@ def extract_native(html: str, url: str, min_quality: int = 15) -> NativeDoc:
                 word_count=words,
                 reading_time=max(words // 200, 1),
                 fallback=None,
+                links=extract_native_links(root, url),
+                media=extract_native_media(root, url),
             )
     # Fallback 1: full body text (fixed quality 40, passes the ≥40 gate).
     body = dom.query_selector(root, "body")
@@ -248,6 +339,8 @@ def extract_native(html: str, url: str, min_quality: int = 15) -> NativeDoc:
             word_count=words,
             reading_time=max(words // 200, 1),
             fallback="full_content",
+            links=[],
+            media=[],
         )
     # Fallback 2: regex tag strip (quality 20).
     text = _strip_html_tags(html)
@@ -260,4 +353,6 @@ def extract_native(html: str, url: str, min_quality: int = 15) -> NativeDoc:
         word_count=words,
         reading_time=max(words // 200, 1),
         fallback="simple_text",
+        links=[],
+        media=[],
     )

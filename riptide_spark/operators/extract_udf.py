@@ -138,6 +138,11 @@ def _dom_heuristic_doc(text: str, url: str) -> dict:
     doc["quality_score"] = native.quality_score
     doc["word_count"] = native.word_count
     doc["reading_time"] = native.reading_time
+    # Native parser path uses its own link/media extractors
+    # (parser.rs:101-112 → extractors/{links,media}.rs); fallback docs
+    # carry empty lists (fallbacks.rs:19-41).
+    doc["links"] = native.links if native.links is not None else []
+    doc["media"] = native.media if native.media is not None else []
     return doc
 
 

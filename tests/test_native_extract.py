@@ -133,3 +133,95 @@ def test_headless_route_uses_dom_path(spark):
     assert "alpha beta gamma" in row["extracted_text"]
     assert row["markdown"].startswith("# Heading One")
     assert "Navigation item" not in row["extracted_text"]
+
+
+# ---------------------------------------------------------------------------
+# Native link/media extractors (extractors/links.rs, extractors/media.rs)
+# ---------------------------------------------------------------------------
+
+
+def test_native_links_filter_resolve_dedup():
+    from riptide_spark.functions.native_extract import extract_native_links
+    from riptide_spark.html import dom
+
+    html = """
+    <html><body>
+      <a href="/relative/page">rel</a>
+      <a href="https://other.example.com/abs">abs</a>
+      <a href="https://other.example.com/abs">dup</a>
+      <a href="javascript:void(0)">js</a>
+      <a href="mailto:x@example.com">mail</a>
+      <a href="tel:+1555">tel</a>
+      <a href="https://x.example.com/file.pdf">pdf</a>
+      <a href="https://x.example.com/file.zip">zip</a>
+      <a href="https://x.example.com/page#frag">fragment</a>
+      <a href="ftp://files.example.com/f">ftp</a>
+    </body></html>
+    """
+    links = extract_native_links(dom.parse(html), "https://base.example.com/dir/")
+    # links.rs:38-62 — http(s) only; '#', javascript:, mailto:, tel:, .pdf,
+    # .zip substring-excluded; HashSet dedup (we pin sorted order).
+    assert links == sorted(
+        [
+            "https://base.example.com/relative/page",
+            "https://other.example.com/abs",
+        ]
+    )
+
+
+def test_native_media_order_and_filters():
+    from riptide_spark.functions.native_extract import extract_native_media
+    from riptide_spark.html import dom
+
+    html = """
+    <html><body>
+      <img src="/img/a.jpg">
+      <img src="https://cdn.example.com/b.PNG">
+      <img src="data:image/gif;base64,R0lGOD==">
+      <img src="https://cdn.example.com/not-media">
+      <video src="https://cdn.example.com/v.mp4"></video>
+      <video><source src="/clips/c.webm"></video>
+      <img src="ftp://cdn.example.com/d.jpg">
+    </body></html>
+    """
+    media = extract_native_media(dom.parse(html), "https://base.example.com/")
+    # media.rs:10-53 — img[src] first (document order, dups kept), then
+    # video source[src] / video[src]; data: passes; extension-less http and
+    # non-http schemes rejected. Case-insensitive extension match (.PNG ok).
+    assert media == [
+        "https://base.example.com/img/a.jpg",
+        "https://cdn.example.com/b.PNG",
+        "data:image/gif;base64,R0lGOD==",
+        "https://cdn.example.com/v.mp4",
+        "https://base.example.com/clips/c.webm",
+    ]
+
+
+def test_native_doc_carries_links_media_on_primary_path():
+    from riptide_spark.functions.native_extract import extract_native
+
+    html = (
+        "<html><head><title>T</title></head><body><article>"
+        + "<h1>Heading One</h1>"
+        + "".join(
+            f"<p>Long paragraph number {i} with plenty of meaningful prose "
+            "content that scores well. It continues with several sentences. "
+            "More text here to pass thresholds.</p>"
+            for i in range(12)
+        )
+        + '<a href="https://other.example.com/next">next</a>'
+        + '<img src="https://cdn.example.com/pic.jpg">'
+        + "</article></body></html>"
+    )
+    doc = extract_native(html, "https://base.example.com/")
+    assert doc.fallback is None
+    assert doc.links == ["https://other.example.com/next"]
+    assert doc.media == ["https://cdn.example.com/pic.jpg"]
+
+
+def test_native_fallback_docs_have_empty_links_media():
+    from riptide_spark.functions.native_extract import extract_native
+
+    doc = extract_native("<html><body><p>tiny</p></body></html>", "https://b.example.com/")
+    assert doc.fallback is not None
+    assert doc.links == [] and doc.media == []
