@@ -154,6 +154,44 @@ def _q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_topic_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextTiling topic-chunker spans over documents.text (non-SQL op;
+    functions/topic_chunking.py — topic.rs:680-745 port)."""
+    _ensure_lossy_decode(spark)
+    from pyspark.sql import types as T
+
+    from riptide_spark.functions.topic_chunking import topic_chunks
+
+    _register_views(spark, sf_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("n_chunks", T.IntegerType()),
+            T.StructField("total_tokens", T.LongType()),
+            T.StructField("last_end_pos", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def topic_stats(text: pd.Series) -> pd.DataFrame:
+        rows = []
+        for value in text:
+            chunks = topic_chunks(value or "", window_size=2, smoothing_passes=2)
+            rows.append(
+                {
+                    "n_chunks": len(chunks),
+                    "total_tokens": sum(c.token_count for c in chunks),
+                    "last_end_pos": chunks[-1].end_pos if chunks else 0,
+                }
+            )
+        return pd.DataFrame(rows, columns=["n_chunks", "total_tokens", "last_end_pos"])
+
+    docs = spark.table("documents")
+    return docs.select("doc_id", topic_stats(F.col("text")).alias("c")).select(
+        "doc_id", "c.n_chunks", "c.total_tokens", "c.last_end_pos"
+    )
+
+
 def _q_table_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML-table → headers/rows matrices (E20) over synthesized pages."""
     _ensure_lossy_decode(spark)
@@ -232,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Non-SQL-expressible operators: rows-only checks.
     out["extract_pipeline"] = _q_extract_pipeline
     out["chunk_spans"] = _q_chunk_spans
+    out["topic_chunk_spans"] = _q_topic_chunk_spans
     out["similarity_ann_lsh"] = _q_ann_lsh
     out["table_extraction"] = _q_table_extraction
     out["css_field_extraction"] = _q_css_fields
