@@ -261,6 +261,18 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(spark.table("embeddings"), query_id=0, k=10, planes=6)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate nearest neighbours (the partition-pruned scale
+    path: train coarse centroids on a bounded sample, probe n_probe lists)."""
+    _ensure_lossy_decode(spark)
+    from riptide_spark.operators.similarity import ann_topk_ivf
+
+    _register_views(spark, sf_dir)
+    return ann_topk_ivf(
+        spark.table("embeddings"), query_id=0, k=10, n_centroids=8, n_probe=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + the
     training-data operator set. Column names/aliases match oracle_sql()."""
@@ -272,6 +284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["chunk_spans"] = _q_chunk_spans
     out["topic_chunk_spans"] = _q_topic_chunk_spans
     out["similarity_ann_lsh"] = _q_ann_lsh
+    out["similarity_ann_ivf"] = _q_ann_ivf
     out["table_extraction"] = _q_table_extraction
     out["css_field_extraction"] = _q_css_fields
     out["native_dom_extraction"] = _q_native_dom

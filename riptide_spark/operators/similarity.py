@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, both pure built-in expressions:
+Three paths:
 
 * **brute-force cosine top-k** — ``zip_with`` dot product + ``aggregate``
   norm, one pass over the table, no shuffle except the final top-k. The
@@ -9,11 +9,19 @@ Two paths, both pure built-in expressions:
 * **LSH-bucketed ANN** — random-hyperplane signatures (deterministic planes
   derived from md5 of the dimension index, so every engine reproduces them),
   candidates = rows sharing a signature bucket, exact re-rank inside the
-  bucket. Scales as O(rows/buckets) per query at 10^12-row scale.
+  bucket. Pure built-in expressions; scales as O(rows/buckets) per query.
+* **IVF-Flat ANN** — coarse k-means quantizer trained driver-side on a
+  bounded deterministic sample, inverted-list assignment via one
+  Arrow-batched matrix multiply, probe-list pruning + exact re-rank. The
+  FAISS IVF layout expressed as Spark partitioning: write the table
+  partitioned by ``ivf_list`` and each query reads n_probe/n_centroids of
+  the data via partition pruning.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -91,6 +99,140 @@ def lsh_signature(vec: Column, planes: int = 8) -> Column:
         proj = F.aggregate(dims, F.lit(0.0), _projector(p))
         sig = sig + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
     return sig
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    max_sample: int = 4096,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train an IVF coarse quantizer: driver-side k-means on a bounded,
+    deterministic sample.
+
+    IVF training is a small-sample operation even at 100 TB — FAISS trains
+    IVF lists on ~30-256 vectors per centroid, not the full corpus. The
+    sample is taken by id stride (``vec_id % step == 0``), not ``rand()``,
+    so every run / retry / engine produces identical centroids. k-means
+    init is the first ``n_centroids`` sample rows in id order; Lloyd
+    iterations are a fixed count (no convergence-dependent early exit), so
+    the result is a pure function of the table contents.
+
+    Returns a ``numpy.ndarray`` of shape (n_centroids, dim), L2-normalized
+    (cosine IVF assigns by max dot product with normalized centroids).
+    """
+
+    total = embeddings.count()
+    step = max(total // max_sample, 1)
+    sample = (
+        embeddings.filter(F.col(id_col) % step == 0)
+        .orderBy(id_col)
+        .limit(max_sample)
+        .select(vec_col)
+        .collect()
+    )
+    x = np.asarray([r[0] for r in sample], dtype=np.float64)
+    if len(x) == 0:
+        raise ValueError("no vectors to train IVF centroids on")
+    n_centroids = min(n_centroids, len(x))
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    xn = x / norms
+
+    centroids = xn[:n_centroids].copy()
+    for _ in range(iters):
+        sims = xn @ centroids.T  # cosine = dot of normalized vectors
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_centroids):
+            members = xn[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        cn = np.linalg.norm(centroids, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        centroids = centroids / cn
+    return centroids
+
+
+def with_ivf_list(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_list",
+) -> DataFrame:
+    """Assign each row to its nearest (max-cosine) centroid.
+
+    The centroid matrix is tiny (n_centroids × dim) and closure-broadcast to
+    executors; assignment is one Arrow-batched matrix multiply per batch —
+    the vectorized path, since an argmin over C centroids is not expressible
+    as a fixed-size built-in expression without C-fold plan blowup.
+    """
+    from pyspark.sql import types as T
+
+    cmat = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest_centroid(vecs: pd.Series) -> pd.Series:
+        x = np.asarray(list(vecs), dtype=np.float64)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.Series(np.argmax((x / norms) @ cmat.T, axis=1).astype("int32"))
+
+    return df.withColumn(out_col, nearest_centroid(F.col(vec_col)))
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: score only rows whose inverted list is among the query's
+    ``n_probe`` nearest centroids, exact cosine re-rank inside.
+
+    At scale: train once, write the table partitioned/bucketed by
+    ``ivf_list``; each query touches n_probe/n_centroids of the data via
+    partition pruning. This is the classic IVF-Flat layout (FAISS) expressed
+    as Spark partitioning.
+    """
+
+    centroids = train_ivf_centroids(
+        embeddings, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    listed = with_ivf_list(embeddings, centroids, vec_col=vec_col)
+
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    if not qrow:
+        return listed.select(
+            F.col(id_col), F.lit(0.0).alias("cosine_sim")
+        ).limit(0)
+    q = np.asarray(qrow[0][0], dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probes = [int(i) for i in np.argsort(-(centroids @ qn))[: n_probe]]
+
+    query = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("query_vec")
+    )
+    candidates = (
+        listed.filter(F.col("ivf_list").isin(probes))
+        .crossJoin(F.broadcast(query))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            id_col,
+            F.round(
+                cosine(
+                    F.col(vec_col).cast("array<double>"),
+                    F.col("query_vec").cast("array<double>"),
+                ),
+                6,
+            ).cast("double").alias("cosine_sim"),
+        )
+    )
+    return candidates.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
 def ann_topk_lsh(

@@ -130,6 +130,56 @@ def test_ann_lsh_consistent_with_bruteforce(spark, embeddings):
     assert sims == sorted(sims, reverse=True)
 
 
+def test_ann_ivf_consistent_with_bruteforce(spark, embeddings):
+    from riptide_spark.operators.similarity import ann_topk_ivf, cosine_topk
+
+    exact_all = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in cosine_topk(embeddings, 0, k=10_000).collect()
+    }
+    rows = ann_topk_ivf(embeddings, 0, k=10, n_centroids=8, n_probe=2).collect()
+    assert rows, "probe lists should contain candidates"
+    for r in rows:
+        assert -1.0 <= r["cosine_sim"] <= 1.0
+        assert abs(r["cosine_sim"] - exact_all[r["vec_id"]]) < 1e-9
+    sims = [r["cosine_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    # With clustered label data, probing 2/8 lists should recover most of
+    # the exact top-10 (the query's own cluster is always probed first).
+    exact_top = [
+        r["vec_id"] for r in cosine_topk(embeddings, 0, k=10).collect()
+    ]
+    got = {r["vec_id"] for r in rows}
+    assert len(got & set(exact_top)) >= 5
+
+
+def test_ivf_centroids_deterministic(spark, embeddings):
+    import numpy as np
+
+    from riptide_spark.operators.similarity import (
+        train_ivf_centroids,
+        with_ivf_list,
+    )
+
+    c1 = train_ivf_centroids(embeddings, n_centroids=8)
+    c2 = train_ivf_centroids(embeddings, n_centroids=8)
+    assert np.array_equal(c1, c2)
+    # Unit-norm centroids (cosine quantizer).
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    # Assignment covers every row with a valid list id, deterministically.
+    a1 = sorted(
+        (r["vec_id"], r["ivf_list"])
+        for r in with_ivf_list(embeddings, c1).select("vec_id", "ivf_list").collect()
+    )
+    a2 = sorted(
+        (r["vec_id"], r["ivf_list"])
+        for r in with_ivf_list(embeddings, c2).select("vec_id", "ivf_list").collect()
+    )
+    assert a1 == a2
+    assert all(0 <= l < 8 for _, l in a1)
+    assert len(a1) == embeddings.count()
+
+
 def test_textops_match_sql(spark, docs):
     from riptide_spark.operators.textops import (
         bpeish_tokens,
