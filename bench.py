@@ -44,6 +44,7 @@ BENCH_QUERIES = (
     "ngram_jaccard_pairs",
     "langid_stopwords",
     "similarity_cosine_topk",
+    "similarity_ann_ivf",
     "events_sessionization",
     "dim_broadcast_join",
     "topk_docs_per_lang",
