@@ -68,7 +68,11 @@ def detect_language_statistical(text: str) -> str | None:
             return "ja"
         return best_script[0]
 
-    # Latin scripts: stopword-profile vote.
+    # Latin scripts: Cavnar-Trenkle trigram profiles (whatlang's model
+    # family), with the stopword-profile vote as tie-break when the trigram
+    # margin is razor-thin (close Romance-language pairs on short text).
+    from .trigram_lid import detect_trigram
+
     words = [w.lower() for w in _WORD_RE.findall(text)]
     if not words:
         return None
@@ -77,7 +81,13 @@ def detect_language_statistical(text: str) -> str | None:
         profile_set = set(profile)
         scores[lang] = sum(1 for w in words if w in profile_set)
     # Deterministic tie-break: score desc, then language code asc.
-    lang, hits = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))
-    if hits == 0:
-        return "en"  # the reference's detector always answers; en is modal
-    return lang
+    sw_lang, sw_hits = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    tri_lang, tri_conf = detect_trigram(text)
+    if tri_lang is None:
+        if sw_hits == 0:
+            return "en"  # the reference's detector always answers; en is modal
+        return sw_lang
+    if tri_conf < 0.02 and sw_hits > 0 and sw_lang != tri_lang:
+        return sw_lang
+    return tri_lang
