@@ -273,6 +273,53 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_schema_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-driven extraction (E22): learn the article schema template,
+    broadcast it as config, apply per page inside a pandas UDF."""
+    _ensure_lossy_decode(spark)
+    from pyspark.sql import types as T
+
+    from riptide_spark.functions.schema_learn import (
+        extract_with_schema,
+        learn_schema,
+        test_extraction,
+    )
+
+    pages = _pages_from_documents(spark, sf_dir)
+    schema, _, _ = learn_schema("<html></html>", "", "article")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("title", T.StringType()),
+            T.StructField("fields_extracted", T.IntegerType()),
+            T.StructField("success", T.BooleanType()),
+        ]
+    )
+
+    @F.pandas_udf(out_schema)
+    def apply_schema(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+        rows = []
+        for h, u in zip(html, url):
+            text = (bytes(h) if h is not None else b"").decode("utf-8", "replace")
+            try:
+                extracted = extract_with_schema(schema, text, u)
+                result = test_extraction(schema, text, u)
+                rows.append(
+                    {
+                        "title": extracted.get("title"),
+                        "fields_extracted": result.fields_extracted,
+                        "success": result.success,
+                    }
+                )
+            except Exception:
+                rows.append({"title": None, "fields_extracted": 0, "success": False})
+        return pd.DataFrame(rows, columns=["title", "fields_extracted", "success"])
+
+    return pages.select(
+        "url", apply_schema(F.col("html"), F.col("url")).alias("s")
+    ).select("url", "s.title", "s.fields_extracted", "s.success")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + the
     training-data operator set. Column names/aliases match oracle_sql()."""
@@ -287,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["similarity_ann_ivf"] = _q_ann_ivf
     out["table_extraction"] = _q_table_extraction
     out["css_field_extraction"] = _q_css_fields
+    out["schema_extraction"] = _q_schema_extraction
     out["native_dom_extraction"] = _q_native_dom
     return out
 
