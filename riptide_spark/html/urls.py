@@ -10,6 +10,7 @@ while ``urljoin`` drops it. ``resolve_url`` papers over that.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from urllib.parse import urljoin, urlsplit
 
 MAX_URL_LEN = 2048  # common_validation.rs:34
@@ -31,8 +32,14 @@ def parse_ok(url: str) -> bool:
     return parts.scheme in ("http", "https") and bool(parts.netloc)
 
 
+@lru_cache(maxsize=65536)
 def resolve_url(base: str, href: str) -> str | None:
     """RFC-3986 join of ``href`` against ``base``; None if it cannot resolve.
+
+    Memoized per executor Python worker: pure function of (base, href), and
+    nav/footer/media hrefs repeat across every page of a host, so the cache
+    absorbs most urljoin/urlsplit work in the hot UDF path. 64k entries
+    bounds memory (~16 MB worst case) per worker.
 
     Pinned to url-crate behavior on the golden corpus: a reference that is
     (or ends in) a bare ``#`` keeps its empty fragment in the output.
