@@ -320,6 +320,55 @@ def _q_schema_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url", "s.title", "s.fields_extracted", "s.success")
 
 
+def _q_strategy_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy composition (§2.11): best-of {article, dom, css} per page
+    inside the Arrow UDF — winner strategy + confidence per url."""
+    _ensure_lossy_decode(spark)
+    from pyspark.sql import types as T
+
+    pages = _pages_from_documents(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("strategy_used", T.StringType()),
+            T.StructField("confidence", T.DoubleType()),
+            T.StructField("content_len", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(out_schema)
+    def best_of(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+        from riptide_spark.functions.composition import (
+            BEST,
+            CompositionError,
+            article_strategy,
+            compose,
+            css_strategy,
+            dom_strategy,
+        )
+
+        strategies = [article_strategy, dom_strategy, css_strategy(["article p", "p"])]
+        rows = []
+        for h, u in zip(html, url):
+            text = (bytes(h) if h is not None else b"").decode("utf-8", "replace")
+            try:
+                out = compose(strategies, text, u, BEST)
+                rows.append(
+                    {
+                        "strategy_used": out.result.strategy_used,
+                        "confidence": round(out.result.confidence, 4),
+                        "content_len": len(out.result.content),
+                    }
+                )
+            except CompositionError:
+                rows.append({"strategy_used": None, "confidence": 0.0, "content_len": 0})
+        return pd.DataFrame(rows, columns=["strategy_used", "confidence", "content_len"])
+
+    return pages.select(
+        "url", best_of(F.col("html"), F.col("url")).alias("c")
+    ).select("url", "c.strategy_used", "c.confidence", "c.content_len")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + the
     training-data operator set. Column names/aliases match oracle_sql()."""
@@ -335,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["table_extraction"] = _q_table_extraction
     out["css_field_extraction"] = _q_css_fields
     out["schema_extraction"] = _q_schema_extraction
+    out["strategy_composition"] = _q_strategy_composition
     out["native_dom_extraction"] = _q_native_dom
     return out
 
