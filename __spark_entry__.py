@@ -369,6 +369,20 @@ def _q_strategy_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url", "c.strategy_used", "c.confidence", "c.content_len")
 
 
+def _q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash-LSH candidate pairs via the
+    label-propagation DataFrame loop (the scale path, O(diameter) rounds)
+    — checked against the oracle's recursive-CTE transitive closure."""
+    _ensure_lossy_decode(spark)
+    from riptide_spark.operators.dedup import connected_components
+
+    _register_views(spark, sf_dir)
+    pairs = spark.sql(OQ.spark_sql("minhash_candidate_pairs"))
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + the
     training-data operator set. Column names/aliases match oracle_sql()."""
@@ -385,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["css_field_extraction"] = _q_css_fields
     out["schema_extraction"] = _q_schema_extraction
     out["strategy_composition"] = _q_strategy_composition
+    out["dedup_connected_components"] = _q_dedup_cc
     out["native_dom_extraction"] = _q_native_dom
     return out
 

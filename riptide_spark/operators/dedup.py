@@ -235,3 +235,59 @@ def embedding_near_duplicates(
         F.round(cosine(F.col("a.v"), F.col("b.v")), 6).cast("double").alias("cosine_sim"),
     )
     return scored.filter(F.col("cosine_sim") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve candidate pairs into duplicate clusters: per node, the
+    minimum id reachable through the pair graph (= canonical doc id).
+
+    The step after MinHash-LSH at corpus scale: candidate pairs form a
+    graph whose connected components are the duplicate clusters; keeping
+    ``component`` per cluster deduplicates transitively (A~B, B~C ⇒ one
+    survivor even though A,C never shared a bucket).
+
+    Implementation: min-label propagation — each round every node takes
+    ``min(own label, neighbors' labels)``; fixpoint in O(diameter) rounds
+    (duplicate clusters are near-cliques, so 2-3 rounds in practice).
+    Convergence is detected by the (monotone non-increasing) sum of
+    labels, one tiny aggregate per round. Each round is one shuffle on
+    node id; ``localCheckpoint`` truncates the plan so lineage doesn't
+    grow with iterations (the classic iterative-algorithm hazard at
+    scale). Deterministic: min() has no ties to break.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("nbr_node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["nbr_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels

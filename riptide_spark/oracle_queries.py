@@ -352,6 +352,45 @@ def q_minhash_pairs(d: Dialect, num_hashes: int = 8, band_size: int = 2) -> str:
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
 
 
+def q_dedup_components(d: Dialect) -> str:
+    """Connected components over the MinHash-LSH candidate-pair graph:
+    per node the minimum reachable id (= canonical doc of its duplicate
+    cluster). DuckDB gets a true recursive transitive closure; the Spark
+    dialect (Spark's recursive CTEs reject UNION, which cyclic closures
+    need to terminate) gets a 4-hop bounded closure — exact here because
+    LSH clusters of duplicated docs are near-cliques (diameter ≤ 2). The
+    engine's production path is the label-propagation DataFrame loop in
+    ``operators/dedup.connected_components``, which this oracle checks."""
+    pairs_sql = q_minhash_pairs(d)
+    prologue = "WITH RECURSIVE" if d.name == "duck" else "WITH"
+    closure = (
+        """reach(src, dst) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+  )"""
+        if d.name == "duck"
+        else """hop1 AS (SELECT a AS src, b AS dst FROM edges),
+  hop2 AS (SELECT src, dst FROM hop1 UNION
+           SELECT h.src, e.b AS dst FROM hop1 h JOIN edges e ON h.dst = e.a),
+  hop3 AS (SELECT src, dst FROM hop2 UNION
+           SELECT h.src, e.b AS dst FROM hop2 h JOIN edges e ON h.dst = e.a),
+  reach AS (SELECT src, dst FROM hop3 UNION
+            SELECT h.src, e.b AS dst FROM hop3 h JOIN edges e ON h.dst = e.a)"""
+    )
+    return f"""{prologue} pairs AS (
+    SELECT * FROM ({pairs_sql})
+  ),
+  edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM pairs
+  ),
+  {closure}
+  SELECT src AS doc_id, least(src, min(dst)) AS component_id
+  FROM reach GROUP BY src"""
+
+
 def q_ngram_jaccard(d: Dialect, k: int = 3, threshold: float = 0.8) -> str:
     """Exact n-gram Jaccard verification over shingle-join candidates."""
     words = d.split_ws("lower(text)")
@@ -732,6 +771,7 @@ GENERATORS = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "minhash_candidate_pairs": q_minhash_pairs,
+    "dedup_connected_components": q_dedup_components,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding,
     "simhash_fingerprints": q_simhash,

@@ -266,3 +266,38 @@ def test_embedding_near_duplicates_lsh_vs_exact(spark, embeddings):
     # LSH candidates are a subset of the exact result (no false positives
     # survive the exact re-score).
     assert lsh <= exact
+
+
+def test_connected_components_chain_cycle_pair(spark):
+    from riptide_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4, cycle 10-11-12-10, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_matches_sql_closure(spark, docs):
+    from riptide_spark.operators.dedup import connected_components
+
+    pairs = spark.sql(OQ.spark_sql("minhash_candidate_pairs"))
+    loop = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    sql = {
+        (r["doc_id"], r["component_id"])
+        for r in spark.sql(OQ.spark_sql("dedup_connected_components")).collect()
+    }
+    assert loop == sql
+    assert loop, "duplicated corpus must produce duplicate clusters"
