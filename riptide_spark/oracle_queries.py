@@ -527,6 +527,49 @@ def q_text_quality(d: Dialect) -> str:
   FROM documents"""
 
 
+def q_quality_filter(d: Dialect) -> str:
+    """Gopher-style composite quality filter verdict per document: word
+    count in [50, 100000], mean word length in [3, 10], symbol ratio
+    < 0.1, and at least one English stopword (Rae et al. 2021 rule
+    family, adapted to the synthetic corpus). The ``keep`` flag is the
+    conjunction — what a 100 TB curation pass would partition on."""
+    words = f"CAST({d.arr_len}({d.split_ws('text')}) AS BIGINT)"
+    alpha = f"CAST(length({d.rre('text', '[^A-Za-z]')}) AS BIGINT)"
+    symbols = f"CAST(length({d.rre('text', '[^#<>|]')}) AS BIGINT)"
+    profiles = _lang_profiles()
+    stop_en = d.rx_all_count("lower(text)", f"\\b({profiles['en']})\\b")
+    mean_wl = f"{alpha} * 1.0 / GREATEST({words}, 1)"
+    sym_ratio = f"{symbols} * 1.0 / GREATEST(length(text), 1)"
+    return f"""
+  SELECT doc_id,
+    {words} AS n_words,
+    CAST({words} BETWEEN 50 AND 100000 AS BOOLEAN) AS ok_word_count,
+    CAST({mean_wl} BETWEEN 3 AND 10 AS BOOLEAN) AS ok_mean_word_len,
+    CAST({sym_ratio} < 0.1 AS BOOLEAN) AS ok_symbol_ratio,
+    CAST({stop_en} > 0 AS BOOLEAN) AS ok_stopwords,
+    CAST(({words} BETWEEN 50 AND 100000)
+         AND ({mean_wl} BETWEEN 3 AND 10)
+         AND ({sym_ratio} < 0.1)
+         AND ({stop_en} > 0) AS BOOLEAN) AS keep
+  FROM documents"""
+
+
+def q_stratified_sample(d: Dialect, per_lang: int = 20) -> str:
+    """Deterministic stratified sample: top-N docs per language ranked by
+    md5(doc_id) — a hash-ordered quota, so every engine/run/retry selects
+    the identical sample (no rand()). The curation primitive for building
+    balanced training mixes from a skewed corpus."""
+    h = f"md5({d.s('doc_id')})"
+    return f"""
+  WITH ranked AS (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rk
+    FROM documents
+  )
+  SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank
+  FROM ranked WHERE rk <= {per_lang}"""
+
+
 def q_fingerprints(d: Dialect) -> str:
     """Stable per-document fingerprint (rolling-hash analog, md5-based)."""
     return f"""
@@ -778,6 +821,8 @@ GENERATORS = {
     "token_counts": q_token_counts,
     "langid_stopwords": q_langid,
     "text_quality_signals": q_text_quality,
+    "quality_filter_verdicts": q_quality_filter,
+    "stratified_sample": q_stratified_sample,
     "doc_fingerprints": q_fingerprints,
     "topk_docs_per_lang": q_topk_per_lang,
     "resume_anti_join": q_resume_anti_join,
