@@ -392,15 +392,29 @@ def q_dedup_components(d: Dialect) -> str:
 
 
 def q_ngram_jaccard(d: Dialect, k: int = 3, threshold: float = 0.8) -> str:
-    """Exact n-gram Jaccard verification over shingle-join candidates."""
+    """Exact n-gram Jaccard verification over shingle-join candidates.
+
+    The shingle self-join carries each doc's distinct-shingle count so the
+    join condition can apply the size-ratio filter: J(A,B) ≥ t implies
+    min(|A|,|B|)/max(|A|,|B|) ≥ t, so size-incompatible pairs are pruned
+    inside the join instead of surviving to the (id_a,id_b) aggregate —
+    the standard length filter from the set-similarity-join literature.
+    Results are identical with or without the filter (it only removes
+    pairs the threshold predicate would drop later)."""
     words = d.split_ws("lower(text)")
     sh = _shingles_expr(d, "w", k)
     if d.name == "spark":
         distinct_sh = "array_distinct(sh)"
-        explode = "SELECT doc_id, explode(dsh) AS shingle FROM shingled"
+        explode = (
+            "SELECT doc_id, n, explode(dsh) AS shingle FROM shingled "
+            "JOIN sizes USING (doc_id)"
+        )
     else:
         distinct_sh = "list_distinct(sh)"
-        explode = "SELECT doc_id, unnest(dsh) AS shingle FROM shingled"
+        explode = (
+            "SELECT doc_id, n, unnest(dsh) AS shingle FROM shingled "
+            "JOIN sizes USING (doc_id)"
+        )
     return _DUP_CORPUS + f""",
   toks AS (SELECT doc_id, {words} AS w FROM corpus),
   shingled AS (SELECT doc_id, {distinct_sh} AS dsh
@@ -411,6 +425,7 @@ def q_ngram_jaccard(d: Dialect, k: int = 3, threshold: float = 0.8) -> str:
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
     FROM exploded a JOIN exploded b
       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      AND a.n * 1.0 >= {threshold} * b.n AND b.n * 1.0 >= {threshold} * a.n
     GROUP BY a.doc_id, b.doc_id
   )
   SELECT i.id_a, i.id_b,
