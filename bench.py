@@ -42,6 +42,9 @@ BENCH_QUERIES = (
     "dedup_exact",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "dedup_connected_components",
+    "quality_filter_verdicts",
+    "stratified_sample",
     "langid_stopwords",
     "similarity_cosine_topk",
     "similarity_ann_ivf",

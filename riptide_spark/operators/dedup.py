@@ -249,6 +249,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Resolve candidate pairs into duplicate clusters: per node, the
     minimum id reachable through the pair graph (= canonical doc id).
@@ -258,18 +259,56 @@ def connected_components(
     ``component`` per cluster deduplicates transitively (A~B, B~C ⇒ one
     survivor even though A,C never shared a bucket).
 
-    Implementation: min-label propagation — each round every node takes
-    ``min(own label, neighbors' labels)``; fixpoint in O(diameter) rounds
-    (duplicate clusters are near-cliques, so 2-3 rounds in practice).
-    Convergence is detected by the (monotone non-increasing) sum of
-    labels, one tiny aggregate per round. Each round is one shuffle on
-    node id; ``localCheckpoint`` truncates the plan so lineage doesn't
-    grow with iterations (the classic iterative-algorithm hazard at
-    scale). Deterministic: min() has no ties to break.
+    Adaptive execution: the candidate graph is tiny relative to the
+    corpus (only docs with near-duplicates appear), so when the edge
+    count is at most ``driver_edge_threshold`` the edges are collected
+    and solved with union-find on the driver — O(E α(E)), one Spark
+    action, no iterations. Above the threshold: distributed min-label
+    propagation — each round every node takes ``min(own label,
+    neighbors' labels)``; fixpoint in O(diameter) rounds (duplicate
+    clusters are near-cliques, so 2-3 rounds in practice), convergence
+    detected by the monotone non-increasing sum of labels, and
+    ``localCheckpoint`` truncates lineage each round (the classic
+    iterative-algorithm hazard at scale). Both paths are deterministic
+    (min() has no ties) and produce identical labels.
     """
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    spark = pairs.sparkSession
+    # Materialize the edge list once — its lineage (e.g. the whole MinHash
+    # candidate generation) would otherwise re-execute on every iteration's
+    # join against the evolving labels.
+    edge_rows_df = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    ).localCheckpoint()
+    n_edges = edge_rows_df.count()
+
+    if n_edges <= driver_edge_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edge_rows_df.collect():
+            a, b = row["src"], row["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # Union by min id keeps the canonical-label invariant.
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        rows = [(node, find(node)) for node in parent]
+        return spark.createDataFrame(rows, "node long, component long")
+
+    edges = edge_rows_df.union(
+        edge_rows_df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

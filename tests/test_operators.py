@@ -301,3 +301,21 @@ def test_connected_components_matches_sql_closure(spark, docs):
     }
     assert loop == sql
     assert loop, "duplicated corpus must produce duplicate clusters"
+
+
+def test_connected_components_paths_agree(spark):
+    from riptide_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21), (5, 1)],
+        "id_a long, id_b long",
+    )
+    fast = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()  # driver union-find
+    )
+    dist = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(pairs, driver_edge_threshold=0).collect()
+    )
+    assert fast == dist
