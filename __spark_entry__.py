@@ -303,7 +303,7 @@ def _q_schema_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             text = (bytes(h) if h is not None else b"").decode("utf-8", "replace")
             try:
                 extracted = extract_with_schema(schema, text, u)
-                result = test_extraction(schema, text, u)
+                result = test_extraction(schema, text, u, extracted=extracted)
                 rows.append(
                     {
                         "title": extracted.get("title"),

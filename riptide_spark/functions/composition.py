@@ -106,21 +106,34 @@ def best_content_merge(
     filtered = [r for r in results if r.confidence >= config.min_confidence]
     if not filtered:
         raise CompositionError("No results meet confidence threshold")
+    # Rust max_by_key keeps the LAST of tied maxima (composition.rs:225-258);
+    # Python max() keeps the first, so use the last-tie helper throughout.
     titles = [r.title for r in filtered if r.title]
-    best_title = max(titles, key=len) if titles else "Untitled"
+    best_title = _last_max(titles, len) if titles else "Untitled"
     if config.prefer_longer_content:
-        best = max(filtered, key=lambda r: len(r.content))
+        best = _last_max(filtered, lambda r: len(r.content))
     else:
         best = _max_by_confidence(filtered)
     summaries = [r.summary for r in filtered if r.summary]
     return StrategyResult(
         title=best_title,
         content=best.content,
-        summary=max(summaries, key=len) if summaries else None,
+        summary=_last_max(summaries, len) if summaries else None,
         url=best.url,
         strategy_used="best_content_merger",
         confidence=best.confidence,
     )
+
+
+def _last_max(items, key):
+    """Rust ``max_by_key`` tie rule: the last of equal maxima wins."""
+    best = items[0]
+    best_k = key(best)
+    for item in items[1:]:
+        k = key(item)
+        if k >= best_k:
+            best, best_k = item, k
+    return best
 
 
 def _max_by_confidence(results: list[StrategyResult]) -> StrategyResult:
@@ -193,7 +206,10 @@ def compose(
             merged = merger(results)
             return CompositionResult(merged, PARALLEL, len(strategies), len(results))
         best = _max_by_confidence(results)
-        return CompositionResult(best, BEST, len(strategies), len(results))
+        # Reference quirk: Best mode reports strategies_succeeded as the
+        # count of *completed* strategies (strategy_times.len(),
+        # composition.rs:668) — failures included — not just successes.
+        return CompositionResult(best, BEST, len(strategies), len(strategies))
 
     raise CompositionError(f"Unknown composition mode: {mode}")
 

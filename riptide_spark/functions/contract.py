@@ -111,13 +111,18 @@ def extract_with_stats(
     html: str, url: str, mode: str, selectors: list[str] | None = None
 ) -> tuple[dict, ExtractionStats]:
     """extract + extraction-stats (lib.rs:147-175)."""
-    tracemalloc.start()
+    # Never clobber an ambient tracemalloc session (e.g. a caller profiling
+    # the whole app) — only stop tracing we ourselves started.
+    started_tracing = not tracemalloc.is_tracing()
+    if started_tracing:
+        tracemalloc.start()
     start = time.monotonic()
     try:
         content = extract(html, url, mode, selectors)
         _, peak = tracemalloc.get_traced_memory()
     finally:
-        tracemalloc.stop()
+        if started_tracing:
+            tracemalloc.stop()
     stats = ExtractionStats(
         processing_time_ms=int((time.monotonic() - start) * 1000),
         memory_used=peak,

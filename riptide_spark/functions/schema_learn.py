@@ -277,10 +277,17 @@ def extract_with_schema(schema: ExtractionSchema, html: str, url: str) -> dict[s
     return extracted
 
 
-def test_extraction(schema: ExtractionSchema, html: str, url: str) -> TestResult:
+def test_extraction(
+    schema: ExtractionSchema,
+    html: str,
+    url: str,
+    extracted: dict[str, str] | None = None,
+) -> TestResult:
     """extractor.rs:125-186 — required/validation checks + field-coverage
-    confidence."""
-    extracted = extract_with_schema(schema, html, url)
+    confidence. Pass a precomputed ``extracted`` dict to avoid re-parsing
+    the document (callers that already ran extract_with_schema)."""
+    if extracted is None:
+        extracted = extract_with_schema(schema, html, url)
     fields_extracted = len(extracted)
     missing = [
         fname

@@ -56,7 +56,7 @@ def tokenize_pseudo_sentences(text: str) -> list[str]:
     Texts over 100 KB use the simplified split-on-terminators path
     (>10 chars and >=3 words per sentence, capped at 500 sentences).
     """
-    if len(text) > _SIMPLE_TOKENIZE_LEN:
+    if len(text.encode("utf-8")) > _SIMPLE_TOKENIZE_LEN:  # Rust str::len is bytes
         out = []
         for part in _split_terminator(text):
             trimmed = part.strip()
@@ -311,12 +311,12 @@ def _enforce_min_chunk_size(
     last = 0
     for b in boundaries:
         segment = " ".join(sentences[last:b])
-        if len(segment) >= min_chars:
+        if len(segment.encode("utf-8")) >= min_chars:  # topic.rs:563 (bytes)
             filtered.append(b)
             last = b
     if last < len(sentences):
         final_segment = " ".join(sentences[last:])
-        if len(final_segment) < min_chars and filtered:
+        if len(final_segment.encode("utf-8")) < min_chars and filtered:
             filtered.pop()
     return filtered
 
@@ -341,7 +341,7 @@ def topic_chunks(
     window_size = max(window_size, 2)  # topic.rs:50
     smoothing_passes = min(smoothing_passes, 5)  # topic.rs:51
 
-    if len(text) > _FALLBACK_TEXT_LEN:  # topic.rs:688-697
+    if _byte_len(text) > _FALLBACK_TEXT_LEN:  # topic.rs:688 (bytes)
         return sliding_window_chunks(text, 1000, 100)
 
     sentences = tokenize_pseudo_sentences(text)
@@ -402,7 +402,7 @@ def topic_quality_score(content: str, topic_keywords: list[str]) -> float:
     """topic.rs:654-675 — 0.5 base + length ratio (cap 0.2) + keyword-density
     bonus (cap 0.3) + 0.2 for >=3 sentences, capped at 1.0."""
     score = 0.5
-    score += min(len(content) / 1000.0, 1.0) * 0.2
+    score += min(len(content.encode("utf-8")) / 1000.0, 1.0) * 0.2
     if topic_keywords:
         words = len(content.split())
         if words:

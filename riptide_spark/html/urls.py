@@ -32,14 +32,32 @@ def parse_ok(url: str) -> bool:
     return parts.scheme in ("http", "https") and bool(parts.netloc)
 
 
-@lru_cache(maxsize=65536)
+_CACHE_INPUT_LIMIT = 1024  # don't let multi-KB tracking URLs bloat the cache
+
+
 def resolve_url(base: str, href: str) -> str | None:
     """RFC-3986 join of ``href`` against ``base``; None if it cannot resolve.
 
     Memoized per executor Python worker: pure function of (base, href), and
     nav/footer/media hrefs repeat across every page of a host, so the cache
-    absorbs most urljoin/urlsplit work in the hot UDF path. 64k entries
-    bounds memory (~16 MB worst case) per worker.
+    absorbs most urljoin/urlsplit work in the hot UDF path. Inputs over
+    1 KB bypass the cache — without the bypass, 64k entries of multi-KB
+    redirect/tracking URLs (common in crawl data) could hold hundreds of
+    MB per reused Python worker. With it: ≤ ~190 MB worst case
+    (64k × 3 × 1 KB), ~tens of MB realistically (typical URLs < 100 B).
+    """
+    if len(base) + len(href) > _CACHE_INPUT_LIMIT:
+        return _resolve_url_impl(base, href)
+    return _resolve_url_cached(base, href)
+
+
+@lru_cache(maxsize=65536)
+def _resolve_url_cached(base: str, href: str) -> str | None:
+    return _resolve_url_impl(base, href)
+
+
+def _resolve_url_impl(base: str, href: str) -> str | None:
+    """The actual join.
 
     Pinned to url-crate behavior on the golden corpus: a reference that is
     (or ends in) a bare ``#`` keeps its empty fragment in the output.

@@ -248,7 +248,7 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
     driver_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Resolve candidate pairs into duplicate clusters: per node, the
@@ -315,25 +315,44 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    converged = labels.count() == 0  # empty graph is trivially converged
     for _ in range(max_iter):
+        if converged:
+            break
         nbr_min = (
             edges.join(labels, edges["src"] == labels["node"])
             .groupBy(F.col("dst").alias("nbr_node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        labels = (
+        # Compute the new label AND whether it changed in one pass; the
+        # changed-count convergence check is overflow-safe (a sum of the
+        # labels themselves would overflow BIGINT under ANSI mode once
+        # ids are large hashes, e.g. 2^62-scale fingerprints).
+        stepped = (
             labels.join(nbr_min, labels["node"] == nbr_min["nbr_node"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("component"))
+                    < F.col("component")
+                ).cast("int").alias("changed"),
             )
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+        changed = stepped.agg(F.sum("changed")).collect()[0][0] or 0
+        labels = stepped.select("node", "component")
+        converged = changed == 0
+    if not converged:
+        # Silent truncation would report one duplicate cluster as several;
+        # min-label propagation moves the minimum one hop per round, so a
+        # duplicate chain longer than max_iter needs a bigger budget (or
+        # pointer-jumping) — fail loudly instead of deduplicating wrongly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the candidate graph has components with diameter > max_iter — "
+            "raise max_iter"
+        )
     return labels

@@ -151,3 +151,23 @@ def test_unknown_mode_raises():
         compose([_s("a", 0.9)], "<html>", "u", "bogus")
     with pytest.raises(CompositionError):
         compose([], "<html>", "u", CHAIN)
+
+
+def test_best_content_merge_last_tie_rule():
+    # composition.rs max_by_key keeps the LAST of tied maxima.
+    merged = best_content_merge(
+        [
+            StrategyResult("Alpha", "XX", "u1", "a", 0.9, summary="s1"),
+            StrategyResult("Bravo", "YY", "u2", "b", 0.9, summary="s2"),
+        ]
+    )
+    assert merged.title == "Bravo"
+    assert merged.content == "YY"
+    assert merged.summary == "s2"
+
+
+def test_best_mode_counts_completed_strategies():
+    # composition.rs:668 quirk: strategies_succeeded = completed (incl.
+    # failures), not successes.
+    out = compose([_fail("a"), _s("b", 0.4)], "<html>", "u", BEST)
+    assert out.strategies_succeeded == 2
