@@ -148,13 +148,14 @@ def extract_meta_content(root: dom.Element, properties: tuple[str, ...]) -> str 
 
 
 def extract_article_text(root: dom.Element) -> str:
-    """First article-selector whose trimmed inner_text exceeds 200 chars,
-    else fall back to full-mode body text. (lib.rs:479-509)"""
+    """First article-selector whose trimmed inner_text exceeds 200 BYTES
+    (Rust str::len — lib.rs:501), else fall back to full-mode body text.
+    (lib.rs:479-509)"""
     for selector in ARTICLE_SELECTORS:
         node = dom.query_selector(root, selector)
         if node is not None:
             trimmed = node.inner_text().strip()
-            if len(trimmed) > 200:
+            if len(trimmed.encode("utf-8")) > 200:
                 return trimmed
     return extract_full_text(root)
 
@@ -303,10 +304,16 @@ def _json_ld_language(value) -> str | None:
     return None
 
 
+def _reject_json_constant(_value: str):
+    """serde_json rejects NaN/Infinity literals; json.loads accepts them by
+    default — raising here makes the whole script skip, like the reference."""
+    raise ValueError("non-standard JSON constant")
+
+
 def _iter_json_ld(root: dom.Element):
     for node in dom.query_selector_all(root, "script[type='application/ld+json']"):
         try:
-            yield json.loads(node.inner_text())
+            yield json.loads(node.inner_text(), parse_constant=_reject_json_constant)
         except (ValueError, RecursionError):
             continue
 
@@ -365,7 +372,8 @@ def detect_language(root: dom.Element) -> str | None:
 
 def _is_likely_category(text: str) -> bool:
     text = text.strip()
-    if len(text) < 2 or len(text) > 50:
+    nbytes = len(text.encode("utf-8"))  # Rust str::len (extraction.rs:753)
+    if nbytes < 2 or nbytes > 50:
         return False
     lower = text.lower()
     if any(skip in lower for skip in _CATEGORY_SKIP_WORDS):
@@ -432,7 +440,7 @@ def extract_categories(root: dom.Element) -> list[str]:
     ):
         for node in dom.query_selector_all(root, selector):
             text = node.inner_text().strip()
-            if text and len(text) < 100 and text not in categories and _is_likely_category(text):
+            if text and len(text.encode("utf-8")) < 100 and text not in categories and _is_likely_category(text):
                 categories.append(text)
 
     for node in dom.query_selector_all(
@@ -457,7 +465,7 @@ def extract_categories(root: dom.Element) -> list[str]:
     )
     for node in class_nodes[:10]:
         text = node.inner_text().strip()
-        if text and len(text) < 50 and text not in categories and _is_likely_category(text):
+        if text and len(text.encode("utf-8")) < 50 and text not in categories and _is_likely_category(text):
             categories.append(text)
 
     # sort(); dedup(); truncate(20) — UTF-8 byte order == code-point order.

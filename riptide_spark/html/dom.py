@@ -55,9 +55,6 @@ VOID_ELEMENTS = frozenset(
     }
 )
 
-# Elements whose content the tokenizer treats as raw text (no nested tags).
-RAW_TEXT_ELEMENTS = frozenset({"script", "style"})
-
 
 class Element:
     """One element node: tag name, attributes, ordered children.

@@ -1,11 +1,18 @@
 """URL resolution with semantics pinned to the reference's ``url`` crate use.
 
 The reference resolves every link/media href against the page URL via
-``url::Url::join`` (``/root/reference/wasm/riptide-extractor-wasm/src/extraction.rs:34``).
-Python's ``urljoin`` differs in one observable way exercised by the golden
-snapshots: ``join("#")`` keeps the trailing ``#`` in the url crate
+``url::Url::join`` (``/root/reference/wasm/riptide-extractor-wasm/src/extraction.rs:34``)
+with **no scheme filter** — mailto:/tel:/javascript:/data: hrefs join to
+themselves and are emitted (the native path filters schemes separately in
+``native_parser/extractors/links.rs:38-62``). The url crate also serializes
+WHATWG-normalized: lowercase scheme+host, default port stripped, an empty
+path as "/", and the path/query/fragment percent-encode sets applied
+(space → %20 etc., non-ASCII → UTF-8 percent-escapes).
+
+One quirk exercised by the golden snapshots: ``join("#")`` keeps the
+trailing ``#`` in the url crate
 (``https://…/ai-breakthrough-2024#`` in ``news_site_article.json:23-25``)
-while ``urljoin`` drops it. ``resolve_url`` papers over that.
+while ``urljoin`` drops it; ``resolve_url`` papers over that.
 """
 
 from __future__ import annotations
@@ -13,30 +20,47 @@ from __future__ import annotations
 from functools import lru_cache
 from urllib.parse import urljoin, urlsplit
 
-MAX_URL_LEN = 2048  # common_validation.rs:34
+MAX_URL_LEN = 2048  # bytes — common_validation.rs:34 (Rust str::len)
+
+_DEFAULT_PORTS = {"http": 80, "https": 443}
+# Characters the url crate rejects inside a domain (invalid-domain-character).
+_BAD_HOST_CHARS = ' \t\n\r<>"{}|\\^`%'
+
+# WHATWG percent-encode sets (url crate serialization): controls and
+# non-ASCII always; plus these per component.
+_PATH_EXTRA = ' "<>`{}'
+_QUERY_EXTRA = ' "<>'
+_FRAG_EXTRA = ' "<>`'
 
 
 def parse_ok(url: str) -> bool:
-    """True iff the URL parses with scheme http/https and a host.
+    """True iff the URL parses like ``Url::parse`` accepts it.
 
     Mirrors ``validate_url_format``
     (``wasm/riptide-extractor-wasm/src/common_validation.rs:32-49``):
-    length ≤ 2048, absolute, scheme ∈ {http, https}.
+    byte length ≤ 2048, absolute, scheme ∈ {http, https}, and a host free
+    of the characters Url::parse rejects (space etc.).
     """
-    if not url or len(url) > MAX_URL_LEN:
+    if not url or len(url.encode("utf-8")) > MAX_URL_LEN:
         return False
     try:
         parts = urlsplit(url)
     except ValueError:
         return False
-    return parts.scheme in ("http", "https") and bool(parts.netloc)
+    if parts.scheme not in ("http", "https") or not parts.netloc:
+        return False
+    try:
+        host = parts.hostname or ""
+    except ValueError:
+        return False
+    return bool(host) and not any(c in host for c in _BAD_HOST_CHARS)
 
 
 _CACHE_INPUT_LIMIT = 1024  # don't let multi-KB tracking URLs bloat the cache
 
 
 def resolve_url(base: str, href: str) -> str | None:
-    """RFC-3986 join of ``href`` against ``base``; None if it cannot resolve.
+    """``Url::join``-faithful resolution; None when the crate would error.
 
     Memoized per executor Python worker: pure function of (base, href), and
     nav/footer/media hrefs repeat across every page of a host, so the cache
@@ -56,28 +80,74 @@ def _resolve_url_cached(base: str, href: str) -> str | None:
     return _resolve_url_impl(base, href)
 
 
-def _resolve_url_impl(base: str, href: str) -> str | None:
-    """The actual join.
+def _percent_encode(component: str, extra: str) -> str:
+    """Percent-encode controls, non-ASCII (as UTF-8) and ``extra`` chars,
+    leaving existing %XX sequences untouched (the url crate does not
+    re-encode '%')."""
+    out: list[str] = []
+    for ch in component:
+        o = ord(ch)
+        if o < 0x20 or o == 0x7F or o > 0x7E or ch in extra:
+            out.extend(f"%{b:02X}" for b in ch.encode("utf-8"))
+        else:
+            out.append(ch)
+    return "".join(out)
 
-    Pinned to url-crate behavior on the golden corpus: a reference that is
-    (or ends in) a bare ``#`` keeps its empty fragment in the output.
-    """
+
+def _resolve_url_impl(base: str, href: str) -> str | None:
     try:
         joined = urljoin(base, href)
     except ValueError:
         return None
-    if "#" in href and "#" not in joined:
-        joined += "#"
+    had_fragment = "#" in href or "#" in joined
     try:
         parts = urlsplit(joined)
     except ValueError:
         return None
-    if parts.scheme not in ("http", "https") or not parts.netloc:
+    scheme = parts.scheme.lower()
+    if not scheme:
         return None
-    # The url crate serializes an authority-only URL with a "/" path.
-    if parts.path == "" and "#" not in joined and "?" not in joined:
-        joined += "/"
-    return joined
+    if scheme not in ("http", "https"):
+        # Non-special scheme (mailto:, data:, javascript:, tel:): Url::join
+        # keeps it; pass through unmodified like the crate's serialization
+        # of opaque paths.
+        return joined
+    if not parts.netloc:
+        return None
+    try:
+        host = (parts.hostname or "").lower()
+        port = parts.port
+    except ValueError:
+        return None
+    if not host or any(c in host for c in _BAD_HOST_CHARS):
+        return None
+    if not host.isascii():
+        # The url crate punycodes IDN hosts (UTS-46); Python's idna codec
+        # (IDNA2003) matches on common hosts. Unencodable → parse error.
+        try:
+            host = host.encode("idna").decode("ascii")
+        except UnicodeError:
+            return None
+    netloc = host
+    if port is not None and port != _DEFAULT_PORTS[scheme]:
+        netloc = f"{netloc}:{port}"
+    if parts.username:
+        userinfo = parts.username
+        if parts.password:
+            userinfo = f"{userinfo}:{parts.password}"
+        netloc = f"{userinfo}@{netloc}"
+    # The url crate serializes an empty path as "/" (also before ?/#).
+    path = _percent_encode(parts.path, _PATH_EXTRA) or "/"
+    out = f"{scheme}://{netloc}{path}"
+    if parts.query:
+        out += "?" + _percent_encode(parts.query, _QUERY_EXTRA)
+    elif "?" in joined:
+        out += "?"
+    if parts.fragment:
+        out += "#" + _percent_encode(parts.fragment, _FRAG_EXTRA)
+    elif had_fragment:
+        out += "#"
+    return out
 
 
 def host_of(url: str) -> str | None:

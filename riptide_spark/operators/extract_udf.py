@@ -148,7 +148,17 @@ def _dom_heuristic_doc(text: str, url: str) -> dict:
 
 def _extract_one(html, url: str, mode: str) -> dict:
     if mode == "pdf":
-        return _pdf_row(url, bytes(html) if html is not None else b"")
+        # Row isolation: a str-typed html column (bytes() raises TypeError
+        # without an encoding) must become an error row, not a task death.
+        try:
+            raw = (
+                html.encode("utf-8", "surrogateescape")
+                if isinstance(html, str)
+                else bytes(html) if html is not None else b""
+            )
+        except Exception as exc:
+            return {**_EMPTY, "error": f"internal: {type(exc).__name__}: {exc}"}
+        return _pdf_row(url, raw)
     text = _decode_lossy(html)
     if mode == "skip":
         # P10 skip_extraction passthrough (pipeline.rs:382-404): raw page

@@ -62,12 +62,30 @@ def extraction_plan(pages: DataFrame, config: ExtractionJobConfig) -> DataFrame:
     """Build the (lazy) extraction DataFrame; no actions triggered."""
     df = pages
 
-    # P1-P3 as native predicates: drop oversized rows before they ever reach
-    # Python; empty/oversized urls handled in the UDF's error column.
-    df = df.filter(F.octet_length("html") <= MAX_CONTENT_BYTES)
+    # P3 (20 MB cap): oversized rows become ERROR rows, not dropped rows —
+    # a dropped row never lands in the output table, so resume would retry
+    # it forever and the url would silently vanish from the corpus
+    # (reference records a per-URL error envelope, pipeline.rs:525-557).
+    # Their html is blanked *before* gate/shuffle/Arrow so the 20 MB+
+    # payload never rides the wire or crosses into Python; the UDF sees
+    # mode='oversize' and emits the reference's InvalidHtml message with
+    # the original size (common_validation.rs:81-85).
+    df = df.withColumn("_oversize_bytes",
+                       F.when(F.octet_length("html") > MAX_CONTENT_BYTES,
+                              F.octet_length("html")))
+    df = df.withColumn(
+        "html",
+        F.when(F.col("_oversize_bytes").isNotNull(),
+               F.lit(b"")).otherwise(F.col("html")),
+    )
 
     # Gate (pure codegen) and routing.
     df = with_gate(df)
+    df = df.withColumn(
+        "content_mode",
+        F.when(F.col("_oversize_bytes").isNotNull(), F.lit("oversize"))
+        .otherwise(F.col("content_mode")),
+    )
 
     # Bucketed url-hash partitioning with hot-host salting; one wide shuffle.
     df = with_partitioning(df, buckets=config.buckets, salts=config.salts,
@@ -76,7 +94,8 @@ def extraction_plan(pages: DataFrame, config: ExtractionJobConfig) -> DataFrame:
     # the raw `text`/`lang`/`warc_ts` columns and the ten gate feature
     # columns would otherwise ride the wire for nothing (the text column
     # alone duplicates the html payload).
-    df = df.select("url", "html", "content_mode", "url_bucket", "salt")
+    df = df.select("url", "html", "content_mode", "url_bucket", "salt",
+                   "_oversize_bytes")
     if config.target_partitions:
         df = repartition_for_extraction(df, config.target_partitions)
 
@@ -103,7 +122,16 @@ def extraction_plan(pages: DataFrame, config: ExtractionJobConfig) -> DataFrame:
         F.col("ex.description").alias("description"),
         F.col("ex.escalated").alias("escalated"),
         F.col("ex.extract_ms").alias("extract_ms"),
-        F.col("ex.error").alias("error"),
+        # Oversize rows ran the UDF on blanked html (→ generic invalid-html);
+        # restore the reference's exact message with the true size.
+        F.when(
+            F.col("_oversize_bytes").isNotNull(),
+            F.format_string(
+                "invalid-html: Content size %d exceeds maximum %d",
+                F.col("_oversize_bytes"),
+                F.lit(MAX_CONTENT_BYTES),
+            ),
+        ).otherwise(F.col("ex.error")).alias("error"),
         "url_bucket",
         "salt",
     )

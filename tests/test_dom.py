@@ -120,7 +120,12 @@ def test_resolve_url_pinned_to_url_crate():
     assert resolve_url(base, "rel/x") == "https://news.example.com/tech/rel/x"
     assert resolve_url(base, "https://other.org/p") == "https://other.org/p"
     assert resolve_url("https://a.com", "") == "https://a.com/"
-    assert resolve_url(base, "mailto:x@y.z") is None
+    # Url::join has no scheme filter (extraction.rs:34) — non-special
+    # schemes pass through; the native path filters them downstream.
+    assert resolve_url(base, "mailto:x@y.z") == "mailto:x@y.z"
+    assert resolve_url(base, "photo 1.jpg").endswith("/tech/photo%201.jpg")
+    assert resolve_url(base, "http://EX.com:80/P") == "http://ex.com/P"
+    assert resolve_url(base, "http://a.com?q=1") == "http://a.com/?q=1"
 
 
 def test_parse_ok():

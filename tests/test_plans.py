@@ -13,7 +13,12 @@ import re
 import pytest
 from pyspark.sql import functions as F
 
-from riptide_spark.plans.pipeline import ExtractionJobConfig, extraction_plan, run_extraction_job
+from riptide_spark.plans.pipeline import (
+    MAX_CONTENT_BYTES,
+    ExtractionJobConfig,
+    extraction_plan,
+    run_extraction_job,
+)
 from riptide_spark.schema import PAGES_SCHEMA
 from riptide_spark.sources.catalog import TableIO
 from riptide_spark.sources.pages import synth_pages
@@ -54,18 +59,38 @@ def test_extraction_stage_prunes_input_columns(spark, pages_path):
     assert re.search(r"\blang\b", read_schema) is None
 
 
-def test_size_filter_pushed_to_scan(spark, pages_path):
+def test_size_guard_blanks_before_shuffle(spark, pages_path):
+    # Oversized rows become error rows (never dropped — resume would retry
+    # them forever), and their html is blanked by an octet_length guard
+    # that evaluates adjacent to the scan, before any Exchange, so 20 MB+
+    # payloads never ride the shuffle or cross into Python.
     pages = spark.read.parquet(pages_path)
     plan = extraction_plan(pages, ExtractionJobConfig(output_path="", resume=False))
     formatted = _formatted(plan)
-    # octet_length isn't a pushable predicate, but the scan must at least
-    # carry it as a data filter before anything wide happens; assert the
-    # filter sits adjacent to the scan, not after the shuffle.
-    scan_pos = formatted.find("Scan parquet")
     filter_pos = formatted.find("octet_length")
     exchange_pos = formatted.find("Exchange")
     assert filter_pos != -1
     assert exchange_pos == -1 or filter_pos < exchange_pos
+
+
+def test_oversized_rows_become_error_rows(spark, pages_path):
+    from pyspark.sql import functions as F
+
+    pages = spark.read.parquet(pages_path).limit(3)
+    big = pages.limit(1).withColumn(
+        "html", F.concat(F.col("html"), F.lit(b"x" * (21 * 1024 * 1024)))
+    )
+    mixed = pages.union(big)
+    out = extraction_plan(mixed, ExtractionJobConfig(output_path="", resume=False))
+    rows = out.collect()
+    assert len(rows) == 4  # the oversized row is present, not dropped
+    errs = [r for r in rows if r["error"] and "exceeds maximum" in r["error"]]
+    assert len(errs) == 1
+    assert errs[0]["content_mode"] == "oversize"
+    assert errs[0]["extracted_text"] is None
+    # common_validation.rs:81-85 message shape with the true size.
+    assert "Content size" in errs[0]["error"]
+    assert str(MAX_CONTENT_BYTES) in errs[0]["error"]
 
 
 def test_gate_is_pure_codegen(spark, pages_path):

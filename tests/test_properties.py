@@ -70,9 +70,15 @@ def test_resolve_url_total(base, href):
     from riptide_spark.html.urls import resolve_url
 
     out = resolve_url(base, href)
-    # Either None or an absolute http(s) URL.
+    # Either None or an absolute URL; http(s) results are normalized
+    # (lowercase host, default port stripped), non-special schemes pass
+    # through like Url::join (mailto:, data:, ...).
     if out is not None:
-        assert out.startswith(("http://", "https://"))
+        assert ":" in out
+        if out.startswith(("http://", "https://")):
+            from riptide_spark.html.urls import host_of
+            h = host_of(out)
+            assert h is not None and h == h.lower()
 
 
 @settings(max_examples=40, deadline=None)
