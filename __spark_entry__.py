@@ -193,23 +193,35 @@ def _q_topic_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_table_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML-table → headers/rows matrices (E20) over synthesized pages."""
+    """HTML-table → headers/rows matrices (E20) over synthesized tables,
+    exercising caption, header detection, and rowspan/colspan grid
+    expansion (``table_extraction/extractor.rs:328-366``). Output columns
+    are sortable scalars (arrays flattened via array_join) so the driver
+    can canonicalize them; oracled by ``udf_oracle_table_extraction``."""
     _ensure_lossy_decode(spark)
     _register_views(spark, sf_dir)
     from riptide_spark.operators.table_udf import with_tables
 
     docs = spark.sql(
-        "SELECT doc_id, '<html><body><table><tr><th>k</th><th>v</th></tr>'"
+        "SELECT doc_id,"
+        " '<html><body><table id=\"m\"><caption>Doc ' || CAST(doc_id AS STRING) || '</caption>'"
+        " || '<thead><tr><th>k</th><th>v</th></tr></thead>'"
         " || '<tr><td>lang</td><td>' || lang || '</td></tr>'"
         " || '<tr><td>chars</td><td>' || CAST(n_chars AS STRING) || '</td></tr>'"
+        " || CASE WHEN doc_id % 3 = 0 THEN '<tr><td colspan=\"2\">wide</td></tr>' ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN"
+        "      '<tr><td rowspan=\"2\">tall</td><td>x</td></tr><tr><td>y</td></tr>' ELSE '' END"
         " || '</table></body></html>' AS html FROM documents"
     )
     out = with_tables(docs)
+    first = F.element_at(F.col("tables"), 1)
     return out.select(
         "doc_id",
         F.size("tables").alias("n_tables"),
-        F.element_at(F.col("tables"), 1)["headers"].alias("headers"),
-        F.size(F.element_at(F.col("tables"), 1)["rows"]).alias("n_rows"),
+        F.array_join(first["headers"], "|").alias("headers"),
+        F.size(first["rows"]).alias("n_rows"),
+        F.array_join(F.flatten(first["rows"]), "|").alias("cells"),
+        first["caption"].alias("caption"),
     )
 
 
@@ -405,5 +417,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalents (same aliases, same values)."""
-    return {name: OQ.duck_sql(name) for name in _ORACLE_NAMES}
+    """DuckDB-runnable ANSI SQL equivalents (same aliases, same values).
+
+    Dialect-parallel generators for the SQL-expressible queries, plus
+    DuckDB-only oracles that independently derive the expected output of
+    UDF-backed queries from their deterministic synthesized inputs."""
+    out = {name: OQ.duck_sql(name) for name in _ORACLE_NAMES}
+    out.update(OQ.udf_oracles())
+    return out

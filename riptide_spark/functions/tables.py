@@ -10,6 +10,14 @@ Port of the reference's table extractor
   pseudo-classes are outside the pinned selector subset);
 * rows from every ``tr`` (dedup against tbody double-match), skipping
   th-bearing rows once headers exist; cells = ``td, th`` text trimmed;
+* rowspan/colspan grid expansion
+  (``table_extraction/extractor.rs:328-366``): the reference records each
+  cell's ``column_index`` (advanced by ``colspan``) plus the ``spans_over``
+  (row, col) positions the cell covers; re-expressed on the row matrices as
+  the standard HTML grid algorithm — a cell's content is replicated into
+  every (row, col) slot it spans, so a ``colspan=2`` cell yields two equal
+  columns and a ``rowspan=2`` cell reappears in the same column of the next
+  row;
 * caption + the table element's attributes as metadata.
 """
 
@@ -39,6 +47,18 @@ def _first_child_element(parent: dom.Element) -> dom.Element | None:
     return None
 
 
+def _span_attr(el: dom.Element, name: str) -> int:
+    """colspan/rowspan parse: ``attr.parse().unwrap_or(1)`` (extractor.rs:
+    323-331), clamped to ≥1 (colspan=0 would stall the grid cursor)."""
+    raw = el.attrs.get(name)
+    if raw is None:
+        return 1
+    try:
+        return max(int(raw.strip()), 1)
+    except (TypeError, ValueError):
+        return 1
+
+
 def _extract_single_table(table: dom.Element) -> TableData:
     data = TableData(metadata=dict(table.attrs))
 
@@ -56,14 +76,45 @@ def _extract_single_table(table: dom.Element) -> TableData:
                 if id(th) not in seen_headers:
                     headers.append(th)
                     seen_headers.add(id(th))
-    data.headers = [_text(h) for h in headers]
+    # Header colspan expansion: a th spanning c columns labels c columns.
+    data.headers = []
+    for h in headers:
+        data.headers.extend([_text(h)] * _span_attr(h, "colspan"))
 
+    # Body grid with span expansion. ``pending`` holds (row, col) → content
+    # for slots covered by a rowspan from an earlier row — the reference's
+    # ``spans_over`` position list (extractor.rs:347-358) materialized into
+    # the matrix.
+    pending: dict[tuple[int, int], str] = {}
+    r = 0
     for tr in dom.query_selector_all(table, "tr"):
         if data.headers and dom.query_selector(tr, "th") is not None:
             continue
-        cells = [_text(c) for c in dom.query_selector_all(tr, "td, th")]
-        if cells:
-            data.rows.append(cells)
+        row_out: list[str] = []
+        col = 0
+
+        def _fill_pending() -> None:
+            nonlocal col
+            while (r, col) in pending:
+                row_out.append(pending.pop((r, col)))
+                col += 1
+
+        _fill_pending()
+        for cell in dom.query_selector_all(tr, "td, th"):
+            _fill_pending()
+            content = _text(cell)
+            colspan = _span_attr(cell, "colspan")
+            rowspan = _span_attr(cell, "rowspan")
+            row_out.extend([content] * colspan)
+            for ri in range(1, rowspan):
+                for ci in range(colspan):
+                    pending[(r + ri, col + ci)] = content
+            # column_index += colspan (extractor.rs:373)
+            col += colspan
+        _fill_pending()
+        if row_out:
+            data.rows.append(row_out)
+            r += 1
     return data
 
 

@@ -859,3 +859,42 @@ def spark_sql(name: str) -> str:
 
 def duck_sql(name: str) -> str:
     return GENERATORS[name](DUCK)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-only oracles for UDF-backed Spark queries.
+#
+# The queries above are dialect-parallel because both sides are SQL. The
+# queries below run a Python/Arrow operator on the Spark side (table
+# extraction, PDF parse, …) over *synthesized deterministic inputs*, so the
+# oracle can compute the expected output directly from the generating
+# columns — an independent derivation, not a re-run of the operator.
+# ---------------------------------------------------------------------------
+
+
+def udf_oracle_table_extraction() -> str:
+    """Expected output of ``_q_table_extraction``: the table HTML is
+    synthesized per document (header row, two data rows, a colspan=2 row
+    for doc_id%3==0, a rowspan=2 pair for doc_id%4==0), so headers /
+    row-count / the span-expanded flattened cell matrix are pure functions
+    of (doc_id, lang, n_chars)."""
+    return """
+  SELECT doc_id,
+    CAST(1 AS INT) AS n_tables,
+    'k|v' AS headers,
+    CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+           + CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS INT) AS n_rows,
+    'lang|' || lang || '|chars|' || CAST(n_chars AS VARCHAR)
+      || CASE WHEN doc_id % 3 = 0 THEN '|wide|wide' ELSE '' END
+      || CASE WHEN doc_id % 4 = 0 THEN '|tall|x|tall|y' ELSE '' END AS cells,
+    'Doc ' || CAST(doc_id AS VARCHAR) AS caption
+  FROM documents"""
+
+
+UDF_ORACLES = {
+    "table_extraction": udf_oracle_table_extraction,
+}
+
+
+def udf_oracles() -> dict[str, str]:
+    return {name: gen() for name, gen in UDF_ORACLES.items()}

@@ -62,9 +62,9 @@ def contract():
 
 
 def _oracle_names():
-    from riptide_spark.oracle_queries import GENERATORS
+    from riptide_spark.oracle_queries import GENERATORS, UDF_ORACLES
 
-    return sorted(GENERATORS)
+    return sorted(GENERATORS) + sorted(UDF_ORACLES)
 
 
 @pytest.mark.parametrize("name", _oracle_names())
@@ -101,7 +101,6 @@ def test_rows_only_queries_run(spark, contract):
         "extract_pipeline",
         "chunk_spans",
         "similarity_ann_lsh",
-        "table_extraction",
         "css_field_extraction",
         "native_dom_extraction",
     ):

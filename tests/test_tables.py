@@ -60,6 +60,58 @@ def test_by_selector_and_min_size():
     assert len(tables) == 1 and tables[0].metadata["id"] == "t1"
 
 
+def test_colspan_expands_columns():
+    """extractor.rs:328-366: a colspan=2 cell covers two column slots."""
+    html = (
+        "<table><tr><th>A</th><th>B</th><th>C</th></tr>"
+        "<tr><td colspan='2'>wide</td><td>x</td></tr>"
+        "<tr><td>a</td><td>b</td><td>c</td></tr></table>"
+    )
+    t = extract_tables(html, "all")[0]
+    assert t.headers == ["A", "B", "C"]
+    assert t.rows == [["wide", "wide", "x"], ["a", "b", "c"]]
+
+
+def test_rowspan_fills_next_rows():
+    html = (
+        "<table><tr><td rowspan='2'>tall</td><td>x</td></tr>"
+        "<tr><td>y</td></tr>"
+        "<tr><td>a</td><td>b</td></tr></table>"
+    )
+    t = extract_tables(html, "all")[0]
+    assert t.rows == [["tall", "x"], ["tall", "y"], ["a", "b"]]
+
+
+def test_rowspan_and_colspan_combined():
+    """A 2x2 spanning cell covers four slots (the spans_over grid)."""
+    html = (
+        "<table>"
+        "<tr><td rowspan='2' colspan='2'>big</td><td>r1</td></tr>"
+        "<tr><td>r2</td></tr>"
+        "<tr><td>a</td><td>b</td><td>c</td></tr></table>"
+    )
+    t = extract_tables(html, "all")[0]
+    assert t.rows == [["big", "big", "r1"], ["big", "big", "r2"], ["a", "b", "c"]]
+
+
+def test_header_colspan_expansion():
+    html = (
+        "<table><tr><th colspan='2'>AB</th><th>C</th></tr>"
+        "<tr><td>1</td><td>2</td><td>3</td></tr></table>"
+    )
+    t = extract_tables(html, "all")[0]
+    assert t.headers == ["AB", "AB", "C"]
+
+
+def test_invalid_span_attribute_defaults_to_one():
+    html = (
+        "<table><tr><td colspan='x' rowspan='0'>a</td><td>b</td></tr>"
+        "<tr><td>c</td><td>d</td></tr></table>"
+    )
+    t = extract_tables(html, "all")[0]
+    assert t.rows == [["a", "b"], ["c", "d"]]
+
+
 def test_tables_udf_spark(spark):
     from riptide_spark.operators.table_udf import with_tables
 
