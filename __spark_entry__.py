@@ -381,15 +381,40 @@ def _q_strategy_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url", "c.strategy_used", "c.confidence", "c.content_len")
 
 
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle's duplicated corpus (documents + every-20th doc repeated
+    under doc_id+100000) as a DataFrame, for operator-backed dedup queries."""
+    _register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT doc_id, text FROM documents"
+        " UNION ALL"
+        " SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0"
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification of MinHash-LSH candidates via the
+    DataFrame operator (one checkpointed shingle+signature scan — the SQL
+    rendering recomputes the scan once per join side)."""
+    _ensure_lossy_decode(spark)
+    from riptide_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_dup_corpus(spark, sf_dir))
+
+
 def _q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over MinHash-LSH candidate pairs via the
     label-propagation DataFrame loop (the scale path, O(diameter) rounds)
-    — checked against the oracle's recursive-CTE transitive closure."""
+    — checked against the oracle's recursive-CTE transitive closure.
+    ``materialize=True`` checkpoints the band buckets so the MinHash
+    cascade is computed once, not once per self-join side."""
     _ensure_lossy_decode(spark)
-    from riptide_spark.operators.dedup import connected_components
+    from riptide_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
 
-    _register_views(spark, sf_dir)
-    pairs = spark.sql(OQ.spark_sql("minhash_candidate_pairs"))
+    pairs = minhash_candidate_pairs(_dup_corpus(spark, sf_dir), materialize=True)
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("component").alias("component_id")
     )
@@ -408,6 +433,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["similarity_ann_lsh"] = _q_ann_lsh
     out["similarity_ann_ivf"] = _q_ann_ivf
     out["table_extraction"] = _q_table_extraction
+    # Operator-backed override: same values as the SQL rendering, but the
+    # shingle+MinHash scan is checkpointed instead of recomputed per side.
+    out["ngram_jaccard_pairs"] = _q_ngram_jaccard
     out["css_field_extraction"] = _q_css_fields
     out["schema_extraction"] = _q_schema_extraction
     out["strategy_composition"] = _q_strategy_composition

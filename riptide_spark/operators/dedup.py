@@ -5,12 +5,12 @@ codegen-friendly, no Python in the hot path) so Catalyst can push, prune and
 partially aggregate them at 100 TB:
 
 * **exact**: md5 fingerprint → groupBy. One shuffle on a 16-byte key.
-* **MinHash**: word-shingles → k md5-derived min-hashes → band buckets →
-  bucket join for candidate pairs. The classic shingle→minhash→band→bucket
-  LSH cascade; every stage is an array expression, the only shuffle is the
-  final bucket groupBy.
-* **n-gram Jaccard**: exact verification for candidate pairs via a shingle
-  equi-join (explode → join → count / union-size).
+* **MinHash**: word-shingles → one md5 base hash per shingle → k affine
+  rehashes (min each) → band buckets → bucket join for candidate pairs.
+  The classic shingle→minhash→band→bucket LSH cascade; every stage is an
+  array expression, the only shuffle is the final bucket groupBy.
+* **n-gram Jaccard**: exact verification of MinHash-LSH candidate pairs via
+  distinct-shingle array intersection (pairs ⋈ docs, linear in corpus size).
 * **SimHash**: 16-bit sign-vote fingerprint over word hashes (Hamming-style
   near-dup families).
 
@@ -27,6 +27,18 @@ from pyspark.sql import functions as F
 DEFAULT_SHINGLE = 3
 DEFAULT_MINHASHES = 8
 DEFAULT_SIMHASH_BITS = 16
+
+# MinHash affine-rehash family: one md5-derived base hash per shingle, then
+# h_i(s) = (a_i·h(s) + b_i) mod (2^31−1). One md5 per shingle instead of
+# num_hashes — the md5 is the dominant cost at corpus scale. Multiplier /
+# offset formulas are mirrored in oracle_queries.py; all intermediates fit
+# in 2^36 so the arithmetic is overflow-safe under ANSI BIGINT in every
+# engine.
+MERSENNE31 = 2_147_483_647
+
+
+def rehash_params(i: int) -> tuple[int, int]:
+    return 2 * i + 3, 7919 * i + 12345
 
 
 def _words(text: Column) -> Column:
@@ -73,22 +85,62 @@ def _hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def minhash_signature(text: Column, num_hashes: int = DEFAULT_MINHASHES, k: int = DEFAULT_SHINGLE) -> list[Column]:
-    """k independent min-hashes: min over shingles of md5('<i>:'||shingle)."""
-    sh = shingles(text, k)
+def base_shingle_hashes(sh: Column) -> Column:
+    """One 60-bit md5 hash per shingle, reduced mod 2^31−1 (the rehash
+    domain). Duplicate shingles cannot change a minimum, so distinct and
+    non-distinct shingle arrays yield identical signatures downstream."""
+    return F.transform(sh, lambda s: _hash60(s) % MERSENNE31)
 
-    def _hasher(i: int):
-        return lambda s: _hash60(F.concat(F.lit(f"{i}:"), s))
+
+def minhash_from_hashes(hs: Column, num_hashes: int = DEFAULT_MINHASHES) -> list[Column]:
+    """k min-hashes from a base-hash array: min over (a_i·h + b_i) mod p."""
+
+    def _rehasher(i: int):
+        a, b = rehash_params(i)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE31
 
     return [
-        F.array_min(F.transform(sh, _hasher(i))).alias(f"minhash_{i}")
+        F.array_min(F.transform(hs, _rehasher(i))).alias(f"minhash_{i}")
         for i in range(num_hashes)
     ]
 
 
+def minhash_from_shingles(sh: Column, num_hashes: int = DEFAULT_MINHASHES) -> list[Column]:
+    return minhash_from_hashes(base_shingle_hashes(sh), num_hashes)
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_hashes: int = DEFAULT_MINHASHES) -> DataFrame:
-    return df.select(F.col(id_col), *minhash_signature(F.col(text_col), num_hashes))
+    """Per-doc MinHash signature. Two projections so the md5 base-hash array
+    is one expression referenced num_hashes times — Catalyst's
+    CollapseProject keeps non-cheap multiply-referenced expressions
+    un-inlined, so the md5 scan runs once, not once per hash."""
+    hashed = df.select(
+        F.col(id_col), base_shingle_hashes(shingles(F.col(text_col))).alias("hs")
+    )
+    return hashed.select(id_col, *minhash_from_hashes(F.col("hs"), num_hashes))
+
+
+def minhash_signature(text: Column, num_hashes: int = DEFAULT_MINHASHES, k: int = DEFAULT_SHINGLE) -> list[Column]:
+    """k min-hashes of the text's k-word shingles (single-expression form;
+    prefer :func:`minhash_signatures` which shares the base-hash array)."""
+    return minhash_from_shingles(shingles(text, k), num_hashes)
+
+
+def _band_bucket_structs(num_hashes: int, band_size: int) -> list[Column]:
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"minhash_{b * band_size + j}") for j in range(band_size)]
+        bucket = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        bands.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return bands
+
+
+def _explode_bands(sig: DataFrame, id_col: str, num_hashes: int, band_size: int) -> DataFrame:
+    bands = _band_bucket_structs(num_hashes, band_size)
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def minhash_band_buckets(
@@ -101,20 +153,10 @@ def minhash_band_buckets(
     """LSH banding: hash each band of the signature to a bucket id; documents
     sharing any (band, bucket) are near-dup candidates."""
     sig = minhash_signatures(df, text_col, id_col, num_hashes)
-    bands = []
-    for b in range(num_hashes // band_size):
-        cols = [F.col(f"minhash_{b * band_size + j}") for j in range(band_size)]
-        bucket = F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
-        bands.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
-    return sig.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return _explode_bands(sig, id_col, num_hashes, band_size)
 
 
-def minhash_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                            num_hashes: int = DEFAULT_MINHASHES, band_size: int = 2) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing at least one LSH bucket."""
-    buckets = minhash_band_buckets(df, text_col, id_col, num_hashes, band_size)
+def _pairs_from_buckets(buckets: DataFrame, id_col: str) -> DataFrame:
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -129,56 +171,104 @@ def minhash_candidate_pairs(df: DataFrame, text_col: str = "text", id_col: str =
     )
 
 
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_MINHASHES,
+    band_size: int = 2,
+    materialize: bool = False,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one LSH bucket.
+
+    With ``materialize=True`` the (id, band, bucket) frame — tiny: one
+    16-byte hash per band per doc — is ``localCheckpoint``-ed before the
+    self-join, so the expensive shingle+MinHash scan runs ONCE instead of
+    once per join side. Lazy by default for composability."""
+    buckets = minhash_band_buckets(df, text_col, id_col, num_hashes, band_size)
+    if materialize:
+        buckets = buckets.localCheckpoint()
+    return _pairs_from_buckets(buckets, id_col)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = DEFAULT_SHINGLE,
     threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+    num_hashes: int = DEFAULT_MINHASHES,
+    band_size: int = 2,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over shingle-join candidates.
+    """Exact n-gram Jaccard verification over LSH candidate pairs.
 
-    explode(distinct shingles) → self equi-join on shingle (only documents
-    sharing a shingle ever meet — the join key *is* the blocking) →
-    |A∩B| / (|A|+|B|−|A∩B|). The size-ratio filter (J ≥ t ⇒
-    min(|A|,|B|)/max(|A|,|B|) ≥ t) rides in the join condition so
-    size-incompatible pairs die inside the join instead of surviving to
-    the aggregate — identical results, less shuffle/aggregate volume.
+    The classic two-stage cascade: MinHash-LSH banding generates candidate
+    pairs (``candidates`` defaults to :func:`minhash_candidate_pairs` on
+    the same corpus), then each candidate's exact Jaccard is computed by
+    joining the two documents' distinct-shingle arrays and intersecting
+    them JVM-side (``array_intersect``) — no shingle self-join.
+
+    Scale shape: the candidate set is tiny relative to the corpus (only
+    near-duplicates collide in a band bucket), so the verification cost is
+    two |pairs|⋈|docs| equi-joins on the id key — linear in corpus size.
+    The previous shingle-equi-join formulation was quadratic in the
+    document frequency of the hottest shingle (a boilerplate shingle shared
+    by 10^6 docs contributes 10^12 join rows); the cascade removes that
+    blow-up entirely.
+
+    Recall: a pair at Jaccard J survives banding with probability
+    1-(1-J^band_size)^(num_hashes/band_size); at the default (4 bands × 2
+    hashes) and threshold 0.8 that is ≥ 0.983, and exact duplicates (J=1)
+    are always candidates. Pairs the LSH misses are not verified — the
+    accepted trade of the LSH-verify literature (Leskovec et al., MMDS
+    ch.3); pass an explicit all-pairs ``candidates`` frame to recover the
+    exhaustive semantics.
     """
-    sh = df.select(
-        F.col(id_col), F.array_distinct(shingles(F.col(text_col), k)).alias("sh")
-    )
-    sizes = sh.select(id_col, F.size("sh").alias("n"))
-    exploded = sh.select(id_col, F.explode("sh").alias("shingle")).join(
-        sizes, id_col
-    )
-    pairs = (
-        exploded.alias("a")
-        .join(
-            exploded.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.col("a.n") >= threshold * F.col("b.n"))
-            & (F.col("b.n") >= threshold * F.col("a.n")),
+    if candidates is None:
+        # One scan computes distinct shingles AND the MinHash signature
+        # (min over distinct shingles == min over all shingles), then the
+        # feature frame is localCheckpoint-ed so the four downstream uses
+        # (two bucket-join sides, two shingle-join sides) read the
+        # materialized partitions instead of recomputing the shingle scan.
+        feat = df.select(
+            F.col(id_col),
+            F.array_distinct(shingles(F.col(text_col), k)).alias("dsh"),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        feat = feat.select(
+            id_col, "dsh", base_shingle_hashes(F.col("dsh")).alias("hs")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
-    return (
-        pairs.join(na, "id_a")
-        .join(nb, "id_b")
+        feat = feat.select(
+            id_col, "dsh", *minhash_from_hashes(F.col("hs"), num_hashes)
+        ).localCheckpoint()
+        buckets = _explode_bands(feat, id_col, num_hashes, band_size)
+        candidates = _pairs_from_buckets(buckets, id_col)
+        sh = feat.select(id_col, "dsh")
+    else:
+        sh = df.select(
+            F.col(id_col), F.array_distinct(shingles(F.col(text_col), k)).alias("dsh")
+        )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("dsh").alias("dsh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("dsh").alias("dsh_b"))
+    scored = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("dsh_a", "dsh_b")).alias("inter"),
+            F.size("dsh_a").alias("n_a"),
+            F.size("dsh_b").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
             ).cast("double"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
 
 

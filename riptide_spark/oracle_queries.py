@@ -309,44 +309,67 @@ def _shingles_expr(d: Dialect, words: str, k: int = 3) -> str:
     return f"CASE WHEN {n} >= {k} THEN {gen} ELSE {short} END"
 
 
-def q_minhash_signatures(d: Dialect, num_hashes: int = 8) -> str:
-    """MinHash signatures: min over shingles of md5('<i>:'||shingle)."""
-    words = d.split_ws("lower(text)")
-    sh = _shingles_expr(d, "w")
+MERSENNE31 = 2_147_483_647
+
+
+def _rehash_params(i: int) -> tuple[int, int]:
+    """Mirror of operators.dedup.rehash_params — keep in lockstep."""
+    return 2 * i + 3, 7919 * i + 12345
+
+
+def _base_hash_expr(d: Dialect, sh: str = "sh") -> str:
+    """One md5-derived base hash per shingle, mod 2^31−1 (the affine-rehash
+    domain; one md5 per shingle instead of one per hash function)."""
+    fn = "transform" if d.name == "spark" else "list_transform"
+    return f"{fn}({sh}, s -> {d.hash60('s')} % {MERSENNE31})"
+
+
+def _minhash_cols(d: Dialect, num_hashes: int, hs: str = "hs", prefix: str = "m") -> list[str]:
+    """min over (a_i·h + b_i) mod 2^31−1 per hash function (overflow-safe:
+    intermediates < 2^36)."""
+    fn_min = "array_min" if d.name == "spark" else "list_min"
+    fn_t = "transform" if d.name == "spark" else "list_transform"
     cols = []
     for i in range(num_hashes):
-        inner = d.hash60(f"'{i}:' || s")
-        if d.name == "spark":
-            cols.append(f"array_min(transform(sh, s -> {inner})) AS minhash_{i}")
-        else:
-            cols.append(f"list_min(list_transform(sh, s -> {inner})) AS minhash_{i}")
-    return f"""
-  WITH toks AS (SELECT doc_id, {words} AS w FROM documents),
-       shingled AS (SELECT doc_id, {sh} AS sh FROM toks)
-  SELECT doc_id, {', '.join(cols)} FROM shingled"""
+        a, b = _rehash_params(i)
+        cols.append(
+            f"{fn_min}({fn_t}({hs}, h -> ({a} * h + {b}) % {MERSENNE31})) AS {prefix}{i}"
+        )
+    return cols
 
 
-def q_minhash_pairs(d: Dialect, num_hashes: int = 8, band_size: int = 2) -> str:
-    """LSH band-bucket candidate pairs over the duplicated corpus."""
+def q_minhash_signatures(d: Dialect, num_hashes: int = 8) -> str:
+    """MinHash signatures: base md5 hash per shingle + affine rehashes."""
     words = d.split_ws("lower(text)")
     sh = _shingles_expr(d, "w")
-    mh_cols = []
-    for i in range(num_hashes):
-        inner = d.hash60(f"'{i}:' || s")
-        fn = "array_min(transform" if d.name == "spark" else "list_min(list_transform"
-        mh_cols.append(f"{fn}(sh, s -> {inner})) AS m{i}")
+    cols = _minhash_cols(d, num_hashes, prefix="minhash_")
+    return f"""
+  WITH toks AS (SELECT doc_id, {words} AS w FROM documents),
+       shingled AS (SELECT doc_id, {sh} AS sh FROM toks),
+       hashed AS (SELECT doc_id, {_base_hash_expr(d)} AS hs FROM shingled)
+  SELECT doc_id, {', '.join(cols)} FROM hashed"""
+
+
+def _band_union(d: Dialect, num_hashes: int, band_size: int) -> str:
     bands = []
     for b in range(num_hashes // band_size):
         parts = " || ',' || ".join(
             d.s(f"m{b * band_size + j}") for j in range(band_size)
         )
         bands.append(f"SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs")
-    band_union = "\n  UNION ALL\n  ".join(bands)
+    return "\n  UNION ALL\n  ".join(bands)
+
+
+def q_minhash_pairs(d: Dialect, num_hashes: int = 8, band_size: int = 2) -> str:
+    """LSH band-bucket candidate pairs over the duplicated corpus."""
+    words = d.split_ws("lower(text)")
+    sh = _shingles_expr(d, "w")
     return _DUP_CORPUS + f""",
   toks AS (SELECT doc_id, {words} AS w FROM corpus),
   shingled AS (SELECT doc_id, {sh} AS sh FROM toks),
-  sigs AS (SELECT doc_id, {', '.join(mh_cols)} FROM shingled),
-  buckets AS ({band_union})
+  hashed AS (SELECT doc_id, {_base_hash_expr(d)} AS hs FROM shingled),
+  sigs AS (SELECT doc_id, {', '.join(_minhash_cols(d, num_hashes))} FROM hashed),
+  buckets AS ({_band_union(d, num_hashes, band_size)})
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
@@ -391,49 +414,55 @@ def q_dedup_components(d: Dialect) -> str:
   FROM reach GROUP BY src"""
 
 
-def q_ngram_jaccard(d: Dialect, k: int = 3, threshold: float = 0.8) -> str:
-    """Exact n-gram Jaccard verification over shingle-join candidates.
+def q_ngram_jaccard(
+    d: Dialect, k: int = 3, threshold: float = 0.8,
+    num_hashes: int = 8, band_size: int = 2,
+) -> str:
+    """Exact n-gram Jaccard verification of MinHash-LSH candidate pairs —
+    the standard two-stage cascade (mirrors ``dedup.ngram_jaccard_pairs``).
 
-    The shingle self-join carries each doc's distinct-shingle count so the
-    join condition can apply the size-ratio filter: J(A,B) ≥ t implies
-    min(|A|,|B|)/max(|A|,|B|) ≥ t, so size-incompatible pairs are pruned
-    inside the join instead of surviving to the (id_a,id_b) aggregate —
-    the standard length filter from the set-similarity-join literature.
-    Results are identical with or without the filter (it only removes
-    pairs the threshold predicate would drop later)."""
+    Candidates come from the same band/bucket construction as
+    ``minhash_candidate_pairs``; each candidate is verified by intersecting
+    the two documents' distinct-shingle arrays. This replaces the earlier
+    shingle self-join, whose cost was quadratic in the document frequency
+    of the hottest shingle — the 100 TB scale-killer flagged in round 1.
+    Recall vs the exhaustive join: a pair at Jaccard J is a candidate with
+    probability 1-(1-J^{band_size})^{num_hashes//band_size} (≥ 0.983 at
+    J = threshold = 0.8 with 4 bands × 2); exact duplicates always
+    collide."""
     words = d.split_ws("lower(text)")
     sh = _shingles_expr(d, "w", k)
     if d.name == "spark":
         distinct_sh = "array_distinct(sh)"
-        explode = (
-            "SELECT doc_id, n, explode(dsh) AS shingle FROM shingled "
-            "JOIN sizes USING (doc_id)"
-        )
+        inter = "size(array_intersect(sa.dsh, sb.dsh))"
     else:
         distinct_sh = "list_distinct(sh)"
-        explode = (
-            "SELECT doc_id, n, unnest(dsh) AS shingle FROM shingled "
-            "JOIN sizes USING (doc_id)"
-        )
+        inter = "len(list_intersect(sa.dsh, sb.dsh))"
     return _DUP_CORPUS + f""",
   toks AS (SELECT doc_id, {words} AS w FROM corpus),
-  shingled AS (SELECT doc_id, {distinct_sh} AS dsh
-               FROM (SELECT doc_id, {sh} AS sh FROM toks) t),
-  sizes AS (SELECT doc_id, CAST({d.arr_len}(dsh) AS BIGINT) AS n FROM shingled),
-  exploded AS ({explode}),
-  inter AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
-    FROM exploded a JOIN exploded b
-      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      AND a.n * 1.0 >= {threshold} * b.n AND b.n * 1.0 >= {threshold} * a.n
-    GROUP BY a.doc_id, b.doc_id
+  raw_sh AS (SELECT doc_id, {sh} AS sh FROM toks),
+  shingled AS (SELECT doc_id, {distinct_sh} AS dsh FROM raw_sh),
+  hashed AS (SELECT doc_id, {_base_hash_expr(d, 'dsh')} AS hs FROM shingled),
+  sigs AS (SELECT doc_id, {', '.join(_minhash_cols(d, num_hashes))} FROM hashed),
+  buckets AS ({_band_union(d, num_hashes, band_size)}),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  ),
+  scored AS (
+    SELECT c.id_a, c.id_b,
+           CAST({inter} AS BIGINT) AS shared,
+           CAST({d.arr_len}(sa.dsh) AS BIGINT) AS n_a,
+           CAST({d.arr_len}(sb.dsh) AS BIGINT) AS n_b
+    FROM cand c
+    JOIN shingled sa ON sa.doc_id = c.id_a
+    JOIN shingled sb ON sb.doc_id = c.id_b
   )
-  SELECT i.id_a, i.id_b,
-         CAST(ROUND(shared * 1.0 / (na.n + nb.n - shared), 6) AS DOUBLE) AS jaccard
-  FROM inter i
-  JOIN sizes na ON na.doc_id = i.id_a
-  JOIN sizes nb ON nb.doc_id = i.id_b
-  WHERE shared * 1.0 / (na.n + nb.n - shared) >= {threshold}"""
+  SELECT id_a, id_b,
+         CAST(ROUND(shared * 1.0 / (n_a + n_b - shared), 6) AS DOUBLE) AS jaccard
+  FROM scored
+  WHERE shared * 1.0 / (n_a + n_b - shared) >= {threshold}"""
 
 
 def q_dedup_embedding(d: Dialect, threshold: float = 0.95) -> str:
