@@ -187,8 +187,13 @@ def compose(
                 return CompositionResult(primary, FALLBACK, 1, 1)
         except Exception:
             pass
-        # Secondary is accepted unconditionally (composition.rs:589-613).
-        secondary = strategies[1](html, url)
+        # Secondary is accepted unconditionally (composition.rs:589-613);
+        # its failure surfaces as the documented CompositionError contract
+        # (the reference's Err path in execute_fallback), not a raw exception.
+        try:
+            secondary = strategies[1](html, url)
+        except Exception as exc:
+            raise CompositionError(f"Fallback strategy failed: {exc}") from exc
         return CompositionResult(secondary, FALLBACK, 2, 1)
 
     if mode in (PARALLEL, BEST):

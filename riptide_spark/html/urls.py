@@ -27,9 +27,11 @@ _DEFAULT_PORTS = {"http": 80, "https": 443}
 _BAD_HOST_CHARS = ' \t\n\r<>"{}|\\^`%'
 
 # WHATWG percent-encode sets (url crate serialization): controls and
-# non-ASCII always; plus these per component.
+# non-ASCII always; plus these per component. Special schemes (http/https)
+# use the special-query set, which adds the apostrophe.
 _PATH_EXTRA = ' "<>`{}'
 _QUERY_EXTRA = ' "<>'
+_SPECIAL_QUERY_EXTRA = _QUERY_EXTRA + "'"
 _FRAG_EXTRA = ' "<>`'
 
 
@@ -94,7 +96,25 @@ def _percent_encode(component: str, extra: str) -> str:
     return "".join(out)
 
 
+_SCHEME_RE = None  # compiled lazily to keep import light
+
+
+def _scheme_of(url: str) -> str | None:
+    global _SCHEME_RE
+    if _SCHEME_RE is None:
+        import re
+
+        _SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*):")
+    m = _SCHEME_RE.match(url)
+    return m.group(1).lower() if m else None
+
+
 def _resolve_url_impl(base: str, href: str) -> str | None:
+    # WHATWG: for special schemes (http/https) '\' is an alias of '/' both
+    # in relative references and in paths — Url::join("p\\q") serializes
+    # "p/q". Applied before urljoin so relative resolution also sees it.
+    if (_scheme_of(href) or _scheme_of(base)) in ("http", "https"):
+        href = href.replace("\\", "/")
     try:
         joined = urljoin(base, href)
     except ValueError:
@@ -136,11 +156,12 @@ def _resolve_url_impl(base: str, href: str) -> str | None:
         if parts.password:
             userinfo = f"{userinfo}:{parts.password}"
         netloc = f"{userinfo}@{netloc}"
-    # The url crate serializes an empty path as "/" (also before ?/#).
-    path = _percent_encode(parts.path, _PATH_EXTRA) or "/"
+    # The url crate serializes an empty path as "/" (also before ?/#);
+    # remaining backslashes (e.g. from the base's own path) map to "/".
+    path = _percent_encode(parts.path.replace("\\", "/"), _PATH_EXTRA) or "/"
     out = f"{scheme}://{netloc}{path}"
     if parts.query:
-        out += "?" + _percent_encode(parts.query, _QUERY_EXTRA)
+        out += "?" + _percent_encode(parts.query, _SPECIAL_QUERY_EXTRA)
     elif "?" in joined:
         out += "?"
     if parts.fragment:

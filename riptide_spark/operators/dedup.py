@@ -366,9 +366,15 @@ def connected_components(
     # Materialize the edge list once — its lineage (e.g. the whole MinHash
     # candidate generation) would otherwise re-execute on every iteration's
     # join against the evolving labels.
-    edge_rows_df = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    ).localCheckpoint()
+    # Null ids cannot participate in a component (and would poison both the
+    # driver union-find comparison and the min-label aggregate): drop them.
+    edge_rows_df = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .localCheckpoint()
+    )
     n_edges = edge_rows_df.count()
 
     if n_edges <= driver_edge_threshold:

@@ -172,12 +172,21 @@ def with_ivf_list(
 
     cmat = np.asarray(centroids, dtype=np.float64)
 
+    dim = cmat.shape[1]
+
     @F.pandas_udf(T.IntegerType())
     def nearest_centroid(vecs: pd.Series) -> pd.Series:
-        x = np.asarray(list(vecs), dtype=np.float64)
-        norms = np.linalg.norm(x, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        return pd.Series(np.argmax((x / norms) @ cmat.T, axis=1).astype("int32"))
+        # Row isolation: a null or wrong-dimension embedding must not turn
+        # the batch into an object array and kill the whole task — such
+        # rows get list -1 (an unprobed list, so they never join a query).
+        ok = vecs.map(lambda v: v is not None and len(v) == dim)
+        out = np.full(len(vecs), -1, dtype="int32")
+        if ok.any():
+            x = np.asarray(list(vecs[ok]), dtype=np.float64)
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            out[ok.to_numpy()] = np.argmax((x / norms) @ cmat.T, axis=1).astype("int32")
+        return pd.Series(out)
 
     return df.withColumn(out_col, nearest_centroid(F.col(vec_col)))
 

@@ -163,15 +163,14 @@ def run_extraction_job(
     run_id = run_id or uuid.uuid4().hex[:12]
     output = TableIO(spark, config.output_path)
 
-    skipped = 0
+    # Resume bookkeeping costs ONE extra pass over the input (the `before`
+    # count); rows_skipped_resume is derived afterwards from the written-row
+    # count instead of a second pre-write count of the anti-joined input.
+    before = None
     if config.resume and output.exists():
         done = output.read().select("url")
         before = pages.count()
         pages = pages.join(done, "url", "left_anti")
-        remaining = pages.count()
-        skipped = before - remaining
-        if remaining == 0:
-            return RunResult(run_id=run_id, rows_written=0, rows_skipped_resume=skipped)
 
     result = extraction_plan(pages, config).withColumn("run_id", F.lit(run_id))
 
@@ -188,4 +187,7 @@ def run_extraction_job(
         metrics = partition_metrics(written, run_id)
         TableIO(spark, config.metrics_path).append(metrics, run_id=run_id)
 
+    # Every surviving input row lands in the output (errors become error
+    # rows, never drops), so skipped = input size − rows written.
+    skipped = (before - rows) if before is not None else 0
     return RunResult(run_id=run_id, rows_written=rows, rows_skipped_resume=skipped)

@@ -11,7 +11,8 @@ finishes, with heartbeat/progress events and a bounded backpressure buffer
   on a cluster) with ``maxFilesPerTrigger`` as the backpressure valve;
 * the same gate + extraction plan as batch (one code path, two run modes);
 * ``foreachBatch``: append the output table AND emit one NDJSON line per
-  document — micro-batch latency stands in for TTFB
+  document (executor-side ``write.text`` per batch — one part-file per
+  task, never a driver collect) — micro-batch latency stands in for TTFB
   (``ndjson_stream_tests.rs:331``);
 * progress/heartbeat = the query's ``lastProgress`` (rows/sec, batch id),
   surfaced by :func:`progress_event`.
@@ -90,11 +91,21 @@ def start_stream(spark: SparkSession, config: StreamConfig):
         try:
             batch_df.write.mode("append").parquet(os.path.join(config.output_path, "data"))
             if config.ndjson_path:
-                rows = batch_df.collect()
-                text = ndjson_lines(rows)
-                path = os.path.join(config.ndjson_path, f"batch-{batch_id:08d}.ndjson")
-                with open(path, "w", encoding="utf-8") as fh:
-                    fh.write(text)
+                # Executor-side emit: each task serializes and writes its own
+                # partition (one NDJSON part-file per task under the batch
+                # directory). No driver collect — a large micro-batch can't
+                # bottleneck or OOM the driver. ignoreNullFields=false keeps
+                # null fields present, matching NdjsonCodec's serde output.
+                (
+                    batch_df.select(
+                        F.to_json(
+                            F.struct(*batch_df.columns),
+                            {"ignoreNullFields": "false"},
+                        ).alias("value")
+                    )
+                    .write.mode("overwrite")
+                    .text(os.path.join(config.ndjson_path, f"batch-{batch_id:08d}"))
+                )
         finally:
             batch_df.unpersist()
 

@@ -52,16 +52,25 @@ def test_stream_extracts_incrementally(spark, stream_dirs):
     assert out.select("url").distinct().count() == N
 
     # NDJSON feed: multiple micro-batches (maxFilesPerTrigger=1 → incremental
-    # delivery, the TTFB analog), one valid JSON object per line.
-    feed_files = sorted(os.listdir(stream_dirs["ndjson"]))
-    assert len(feed_files) >= 2
+    # delivery, the TTFB analog), one directory per batch written by the
+    # executors (part-files), one valid JSON object per line.
+    feed_batches = sorted(
+        d for d in os.listdir(stream_dirs["ndjson"]) if d.startswith("batch-")
+    )
+    assert len(feed_batches) >= 2
     lines = []
-    for name in feed_files:
-        with open(os.path.join(stream_dirs["ndjson"], name), encoding="utf-8") as fh:
-            lines.extend(line for line in fh.read().splitlines() if line)
+    for batch in feed_batches:
+        bdir = os.path.join(stream_dirs["ndjson"], batch)
+        for name in sorted(os.listdir(bdir)):
+            if not name.startswith("part-"):
+                continue
+            with open(os.path.join(bdir, name), encoding="utf-8") as fh:
+                lines.extend(line for line in fh.read().splitlines() if line)
     assert len(lines) == N
     parsed = [json.loads(line) for line in lines]
     assert all("url" in p and "content_mode" in p for p in parsed)
+    # Null fields stay present (serde-style serialization, not dropped).
+    assert all("error" in p for p in parsed)
 
 
 def test_stream_resumes_exactly_once(spark, stream_dirs):
