@@ -225,6 +225,57 @@ def _q_table_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pdf_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E18/S7: real PDF text extraction through the vendored classic-PDF
+    parser. PDFs are synthesized deterministically from ``documents`` (one
+    page of the document text, an appendix page for even ids, id%3 images
+    per page, Flate for id%5==0, Info Title/Author), so the oracle derives
+    every output column from the generating table
+    (``udf_oracle_pdf_extraction``). Field mapping per
+    ``crates/riptide-pdf/src/processor.rs:642-760``."""
+    _ensure_lossy_decode(spark)
+    _register_views(spark, sf_dir)
+    from pyspark.sql import types as T
+
+    from riptide_spark.operators.extract_udf import extract_udf
+
+    docs = spark.table("documents").select("doc_id", "text")
+
+    @F.pandas_udf(T.BinaryType())
+    def make_pdf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        from riptide_spark.functions.pdftext import build_minimal_pdf
+
+        out = []
+        for i, t in zip(doc_id, text):
+            i = int(i)
+            pages = [t or ""]
+            if i % 2 == 0:
+                pages.append("Appendix page.")
+            out.append(
+                build_minimal_pdf(
+                    pages,
+                    images_per_page=i % 3,
+                    info={"Title": f"Doc {i}", "Author": f"Author {i % 7}"},
+                    compress=(i % 5 == 0),
+                )
+            )
+        return pd.Series(out)
+
+    pdfs = docs.withColumn("pdf", make_pdf("doc_id", "text"))
+    url = F.concat(F.lit("https://pdf.example.com/"), F.col("doc_id").cast("string"))
+    ex = pdfs.withColumn("ex", extract_udf(F.col("pdf"), url, F.lit("pdf")))
+    return ex.select(
+        "doc_id",
+        F.col("ex.title").alias("title"),
+        F.col("ex.byline").alias("byline"),
+        F.col("ex.word_count").alias("word_count"),
+        F.col("ex.reading_time").alias("reading_time"),
+        F.col("ex.quality_score").alias("quality_score"),
+        F.size("ex.media").alias("n_media"),
+        F.length("ex.extracted_text").alias("text_chars"),
+    )
+
+
 def _q_css_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSS-JSON field extraction with transformers over synthesized pages."""
     _ensure_lossy_decode(spark)
@@ -433,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["similarity_ann_lsh"] = _q_ann_lsh
     out["similarity_ann_ivf"] = _q_ann_ivf
     out["table_extraction"] = _q_table_extraction
+    out["pdf_extraction"] = _q_pdf_extraction
     # Operator-backed override: same values as the SQL rendering, but the
     # shingle+MinHash scan is checkpointed instead of recomputed per side.
     out["ngram_jaccard_pairs"] = _q_ngram_jaccard

@@ -32,12 +32,7 @@ from ..functions.extract import ExtractionInvalid, extract_document
 from ..functions.native_extract import extract_native
 from ..schema import EXTRACTED_STRUCT
 
-# One-time probe: failed imports are NOT cached by Python, so probing inside
-# the per-row path would rescan sys.path for every PDF row.
-try:  # pragma: no cover - pypdf not in the sandbox image
-    from pypdf import PdfReader as _PdfReader
-except Exception:
-    _PdfReader = None
+from ..functions.pdftext import parse_pdf
 
 _EMPTY = {
     "title": None,
@@ -69,10 +64,18 @@ def _decode_lossy(html) -> str:
 
 
 def _pdf_row(url: str, html: bytes) -> dict:
-    """PDF branch (S7/E18). pdfium isn't in this container; if pypdf is
-    importable we parse, else we emit the reference's documented fallback doc
-    (``pipeline.rs:744-765``): quality 20, categories [pdf, error]."""
-    if _PdfReader is None:
+    """PDF branch (S7/E18) via the vendored classic-PDF parser
+    (``functions/pdftext.py`` — pdfium is not in this container, so the
+    deterministic subset parser stands in). Field mapping mirrors
+    ``process_pdf_bytes`` (``crates/riptide-pdf/src/processor.rs:642-760``):
+    per-page text each followed by '\\n', ``pdf:image:{i}`` media
+    placeholders, Info Title/Author/Producer/Subject → title/byline/
+    site_name/description, quality 85, reading_time = max(words/200, 1)
+    (``utils.rs:117-121``). Unparseable bytes yield the reference's
+    fallback doc (``pipeline.rs:744-765``): quality 20, [pdf, error]."""
+    try:
+        doc = parse_pdf(html)
+    except Exception:  # PdfInvalid + any parser edge: fallback doc, not a task death
         row = dict(_EMPTY)
         row.update(
             extracted_text="",
@@ -84,38 +87,25 @@ def _pdf_row(url: str, html: bytes) -> dict:
             description="Failed to process PDF document",
         )
         return {**row, "error": None}
-    try:  # pragma: no cover - requires pypdf
-        import io
-
-        reader = _PdfReader(io.BytesIO(html))
-        pages = [page.extract_text() or "" for page in reader.pages]
-        text = "\n".join(pages)
-        words = len(text.split())
-        row = dict(_EMPTY)
-        row.update(
-            extracted_text=text,
-            markdown="",
-            word_count=words,
-            reading_time=max(1, -(-words // 250)) if words else None,
-            quality_score=85,
-            categories=["document", "pdf"],
-            links=[],
-            media=[f"pdf:image:{i}" for i in range(len(reader.pages))],
-            spans=chunking.spans_for_text(text),
-        )
-        return {**row, "error": None}
-    except Exception:
-        row = dict(_EMPTY)
-        row.update(
-            extracted_text="",
-            markdown="",
-            quality_score=20,
-            categories=["pdf", "error"],
-            links=[],
-            media=[],
-            description="Failed to process PDF document",
-        )
-        return {**row, "error": None}
+    text = doc.text
+    words = len(text.split())
+    row = dict(_EMPTY)
+    row.update(
+        title=doc.info.get("Title"),
+        byline=doc.info.get("Author"),
+        site_name=doc.info.get("Producer"),
+        description=doc.info.get("Subject"),
+        extracted_text=text,
+        markdown=text,
+        word_count=words,
+        reading_time=max(words // 200, 1),
+        quality_score=85,
+        categories=["document", "pdf"],
+        links=[],
+        media=[f"pdf:image:{i}" for i in range(doc.image_count)],
+        spans=chunking.spans_for_text(text),
+    )
+    return {**row, "error": None}
 
 
 def _needs_escalation(doc: dict) -> bool:

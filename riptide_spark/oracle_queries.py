@@ -920,8 +920,33 @@ def udf_oracle_table_extraction() -> str:
   FROM documents"""
 
 
+def udf_oracle_pdf_extraction() -> str:
+    """Expected output of ``_q_pdf_extraction``: the PDF is synthesized
+    from (doc_id, text) — one page of text plus an appendix page for even
+    ids ('Appendix page.' = 14 chars, 2 words), id%3 images per page —
+    and the parser round-trips text exactly with each page newline-
+    terminated (processor.rs:692-696), so every column is a pure function
+    of the generating row. reading_time = max(words/200, 1)
+    (utils.rs:117-121); quality 85."""
+    words = (
+        "len(regexp_split_to_array(trim(text), '\\s+'))"
+        " + CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END"
+    )
+    return f"""
+  SELECT doc_id,
+    'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+    'Author ' || CAST(doc_id % 7 AS VARCHAR) AS byline,
+    CAST({words} AS INT) AS word_count,
+    CAST(GREATEST(({words}) // 200, 1) AS INT) AS reading_time,
+    CAST(85 AS INT) AS quality_score,
+    CAST((doc_id % 3) * (1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS INT) AS n_media,
+    CAST(length(text) + 1 + CASE WHEN doc_id % 2 = 0 THEN 15 ELSE 0 END AS INT) AS text_chars
+  FROM documents"""
+
+
 UDF_ORACLES = {
     "table_extraction": udf_oracle_table_extraction,
+    "pdf_extraction": udf_oracle_pdf_extraction,
 }
 
 

@@ -286,8 +286,25 @@ def _minimal_invalid(rng: random.Random, lang: str, url: str) -> str:
 
 
 def _pdf_body(rng: random.Random, lang: str, url: str) -> bytes:
+    """Real minimal PDFs (vendored writer) so the pipeline exercises the
+    actual text path; ~10% stay structurally corrupt to exercise the
+    reference's fallback error document (pipeline.rs:744-765)."""
+    from ..functions.pdftext import build_minimal_pdf
+
     inner = _paragraph(rng, lang, 8)
-    return b"%PDF-1.7\n% synthetic test document\n" + inner.encode() + b"\n%%EOF"
+    if rng.random() < 0.1:
+        return b"%PDF-1.7\n% corrupt synthetic document\n" + inner.encode() + b"\n%%EOF"
+    return build_minimal_pdf(
+        [inner, _paragraph(rng, lang, 4)],
+        images_per_page=rng.randrange(3),
+        info={
+            "Title": "Synthetic report " + url.rsplit("/", 1)[-1],
+            "Author": "Synth Author",
+            "Producer": "riptide-spark-synth",
+            "Subject": "synthetic evaluation document",
+        },
+        compress=rng.random() < 0.5,
+    )
 
 
 _BUILDERS = {

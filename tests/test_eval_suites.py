@@ -26,6 +26,9 @@ SUITE_THRESHOLDS = {
     # No reference analog (it would headless-render); the DOM-heuristic
     # path should still extract the shell's noscript/app content.
     "spa_shell": ("spa (dom-path)", 0.50),
+    # Vendored classic-PDF parser: ~90% of synthetic PDFs are well-formed
+    # (the corrupt rest must become fallback error docs, not successes).
+    "pdf_doc": ("pdf (vendored parser)", 0.80),
 }
 
 N_PAGES = 1000

@@ -1,0 +1,110 @@
+"""Vendored classic-PDF parser (E18/S7): fixture round-trip, escapes,
+Flate streams, page order, image counts, info dict, and the extraction
+UDF's reference field mapping (processor.rs:642-760)."""
+
+from __future__ import annotations
+
+import pytest
+
+from riptide_spark.functions.pdftext import (
+    PdfInvalid,
+    build_minimal_pdf,
+    extract_page_text,
+    parse_pdf,
+)
+
+
+def test_single_page_round_trip():
+    data = build_minimal_pdf(["Hello PDF world."])
+    doc = parse_pdf(data)
+    assert [p.text for p in doc.pages] == ["Hello PDF world."]
+    assert doc.text == "Hello PDF world.\n"
+    assert doc.image_count == 0
+
+
+def test_multi_page_order_and_join():
+    data = build_minimal_pdf(["page one", "page two", "page three"])
+    doc = parse_pdf(data)
+    assert [p.text for p in doc.pages] == ["page one", "page two", "page three"]
+    # processor.rs:692-696: each page's text followed by '\n'.
+    assert doc.text == "page one\npage two\npage three\n"
+
+
+def test_escapes_and_unicode_round_trip():
+    tricky = "parens () back\\slash\nnewline tab\t and café ± ≥"
+    doc = parse_pdf(build_minimal_pdf([tricky]))
+    assert doc.pages[0].text == tricky
+
+
+def test_flate_compressed_stream():
+    text = "compressed content " * 50
+    doc = parse_pdf(build_minimal_pdf([text], compress=True))
+    assert doc.pages[0].text == text
+
+
+def test_image_placeholder_counting():
+    data = build_minimal_pdf(["a", "b"], images_per_page=2)
+    doc = parse_pdf(data)
+    assert [p.image_count for p in doc.pages] == [2, 2]
+    assert doc.image_count == 4
+
+
+def test_info_dictionary():
+    info = {
+        "Title": "A Report",
+        "Author": "J. Doe",
+        "Producer": "riptide-test",
+        "Subject": "quarterly (draft)",
+    }
+    doc = parse_pdf(build_minimal_pdf(["x"], info=info))
+    assert doc.info == info
+
+
+def test_invalid_bytes_raise():
+    with pytest.raises(PdfInvalid):
+        parse_pdf(b"short")
+    with pytest.raises(PdfInvalid):
+        parse_pdf(b"<html>not a pdf at all</html>")
+    with pytest.raises(PdfInvalid):
+        parse_pdf(b"%PDF-1.4\njunk with no objects")
+
+
+def test_hex_string_and_tj_array():
+    content = b"BT [(Hel) (lo)] TJ <20776F726C64> Tj ET"
+    assert extract_page_text(content) == "Hello world"
+
+
+def test_newline_operators():
+    content = b"BT (line one) Tj T* (line two) ' ET"
+    assert extract_page_text(content) == "line one\nline two"
+
+
+def test_udf_pdf_row_reference_mapping():
+    from riptide_spark.operators.extract_udf import _extract_one
+
+    words = "alpha beta gamma " * 80  # 240 words
+    data = build_minimal_pdf(
+        [words.strip(), "tail page"],
+        images_per_page=1,
+        info={"Title": "T", "Author": "A", "Producer": "P", "Subject": "S"},
+    )
+    row = _extract_one(data, "https://x.example.com/doc.pdf", "pdf")
+    assert row["error"] is None
+    assert row["extracted_text"] == words.strip() + "\n" + "tail page" + "\n"
+    assert row["title"] == "T" and row["byline"] == "A"
+    assert row["site_name"] == "P" and row["description"] == "S"
+    assert row["quality_score"] == 85
+    assert row["word_count"] == 242
+    assert row["reading_time"] == max(242 // 200, 1)
+    assert row["media"] == ["pdf:image:0", "pdf:image:1"]
+    assert row["categories"] == ["document", "pdf"]
+
+
+def test_udf_pdf_fallback_on_garbage():
+    from riptide_spark.operators.extract_udf import _extract_one
+
+    row = _extract_one(b"%PDF-1.4\ngarbage", "https://x/doc.pdf", "pdf")
+    assert row["error"] is None
+    assert row["quality_score"] == 20
+    assert row["categories"] == ["pdf", "error"]
+    assert row["description"] == "Failed to process PDF document"
