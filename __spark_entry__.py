@@ -325,14 +325,30 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat approximate nearest neighbours (the partition-pruned scale
-    path: train coarse centroids on a bounded sample, probe n_probe lists)."""
+    """IVF-Flat ANN quality check: recall@k of the partition-pruned IVF
+    path (driver-trained coarse quantizer, n_probe lists) against the
+    oracled brute-force ``similarity_cosine_topk``. The whole pipeline is
+    deterministic (stride sample, fixed Lloyd iterations, id tie-breaks),
+    so the overlap/recall is a pure function of the embeddings table —
+    pinned by ``udf_oracle_similarity_ann_ivf`` per corpus size."""
     _ensure_lossy_decode(spark)
-    from riptide_spark.operators.similarity import ann_topk_ivf
+    from riptide_spark.operators.similarity import ann_topk_ivf, cosine_topk
 
     _register_views(spark, sf_dir)
-    return ann_topk_ivf(
-        spark.table("embeddings"), query_id=0, k=10, n_centroids=8, n_probe=2
+    emb = spark.table("embeddings")
+    k = 10
+    ivf = ann_topk_ivf(emb, query_id=0, k=k, n_centroids=8, n_probe=2).select("vec_id")
+    brute = cosine_topk(emb, query_id=0, k=k).select("vec_id")
+    return (
+        ivf.join(brute, "vec_id")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            F.lit(8).cast("int").alias("n_centroids"),
+            F.lit(2).cast("int").alias("n_probe"),
+            F.col("o").cast("int").alias("overlap"),
+            F.round(F.col("o") / F.lit(float(k)), 6).cast("double").alias("recall_at_k"),
+        )
     )
 
 

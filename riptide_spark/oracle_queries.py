@@ -944,9 +944,67 @@ def udf_oracle_pdf_extraction() -> str:
   FROM documents"""
 
 
+def udf_oracle_similarity_ann_lsh(planes: int = 6, k: int = 10, query_id: int = 0) -> str:
+    """DuckDB re-derivation of ``similarity.ann_topk_lsh``: the hyperplane
+    components are md5-derived (``_plane_component``), so the signature,
+    bucket filter and exact cosine re-rank are all expressible in SQL.
+    Only the *sign* of each projection feeds the bucket, and cosines are
+    rounded to 6dp, so float summation-order differences cannot flip the
+    result."""
+
+    def proj(p: int) -> str:
+        plane = (
+            f"(CAST(concat('0x', substr(md5('plane{p}:' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)"
+            " / 4294967296.0 - 0.5)"
+        )
+        return f"list_sum(list_transform(range(0, len(v)), i -> v[i+1] * {plane}))"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {proj(p)} > 0 THEN {1 << p} ELSE 0 END)" for p in range(planes)
+    )
+    return f"""
+  WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  sig AS (SELECT vec_id, v, {bucket} AS bucket FROM vecs),
+  q AS (SELECT bucket AS qb, v AS qv FROM sig WHERE vec_id = {query_id})
+  SELECT s.vec_id,
+         CAST(ROUND(list_dot_product(s.v, q.qv)
+              / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+              AS DOUBLE) AS cosine_sim
+  FROM sig s CROSS JOIN q
+  WHERE s.bucket = q.qb AND s.vec_id != {query_id}
+  ORDER BY cosine_sim DESC, s.vec_id ASC
+  LIMIT {k}"""
+
+
+def udf_oracle_similarity_ann_ivf() -> str:
+    """Measured-constant oracle for the IVF recall@10 query. The IVF
+    pipeline is deterministic end-to-end (stride sample, first-k init,
+    10 fixed Lloyd iterations, id tie-breaks), so its recall against the
+    (value-oracled) brute-force top-k is a constant per corpus — but the
+    k-means itself is a driver-side numpy loop that SQL cannot reasonably
+    re-derive, so the constants are pinned per corpus, keyed by a data
+    fingerprint (round(sum of first components, 4)) rather than re-computed.
+    Measured: sf0.001 → 9/10, sf0.01 → 7/10, sf0.1 → 10/10."""
+    fp = "(SELECT ROUND(SUM(embedding[1]), 4) FROM embeddings)"
+    overlap = (
+        f"CASE WHEN {fp} = -1.464 THEN 9"
+        f" WHEN {fp} = 1.0824 THEN 7"
+        f" WHEN {fp} = 1.5308 THEN 10"
+        " ELSE NULL END"
+    )
+    return f"""
+  SELECT CAST(10 AS INT) AS k,
+         CAST(8 AS INT) AS n_centroids,
+         CAST(2 AS INT) AS n_probe,
+         CAST({overlap} AS INT) AS overlap,
+         CAST(ROUND(({overlap}) / 10.0, 6) AS DOUBLE) AS recall_at_k"""
+
+
 UDF_ORACLES = {
     "table_extraction": udf_oracle_table_extraction,
     "pdf_extraction": udf_oracle_pdf_extraction,
+    "similarity_ann_lsh": udf_oracle_similarity_ann_lsh,
+    "similarity_ann_ivf": udf_oracle_similarity_ann_ivf,
 }
 
 

@@ -100,7 +100,6 @@ def test_rows_only_queries_run(spark, contract):
     for name in (
         "extract_pipeline",
         "chunk_spans",
-        "similarity_ann_lsh",
         "css_field_extraction",
         "native_dom_extraction",
     ):
