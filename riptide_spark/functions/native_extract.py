@@ -164,6 +164,98 @@ def extract_native_title(root: dom.Element) -> str | None:
     return None
 
 
+# ---------------------------------------------------------------------------
+# Native metadata chains (E2′) — extractors/metadata.rs:9-209. Each chain
+# inspects only the FIRST element matching each selector (scraper's
+# .select().next()), trims, and falls through on empty.
+# ---------------------------------------------------------------------------
+
+_META_AUTHOR_SELECTORS = (
+    "meta[name='author']",
+    "meta[property='article:author']",
+    "meta[name='twitter:creator']",
+)
+_BYLINE_CLASS_SELECTORS = (
+    ".author",
+    ".byline",
+    "[rel='author']",
+    ".author-name",
+    ".post-author",
+)
+_META_DATE_SELECTORS = (
+    "meta[property='article:published_time']",
+    "meta[name='date']",
+    "meta[name='publication_date']",
+    "meta[property='og:published_time']",
+)
+_DESCRIPTION_SELECTORS = (
+    "meta[property='og:description']",
+    "meta[name='twitter:description']",
+    "meta[name='description']",
+)
+
+
+def _first_attr(root: dom.Element, selectors: tuple[str, ...], attr: str = "content") -> str | None:
+    for selector in selectors:
+        node = dom.query_selector(root, selector)
+        if node is not None:
+            value = (node.get(attr) or "").strip()
+            if value:
+                return value
+    return None
+
+
+def _first_text(root: dom.Element, selectors: tuple[str, ...]) -> str | None:
+    for selector in selectors:
+        node = dom.query_selector(root, selector)
+        if node is not None:
+            cleaned = node.inner_text().strip()
+            if cleaned:
+                return cleaned
+    return None
+
+
+def extract_native_byline(root: dom.Element) -> str | None:
+    """metadata.rs:9-22,69-124: meta author tags → schema.org
+    [itemprop=author] text → byline class/rel selectors."""
+    author = _first_attr(root, _META_AUTHOR_SELECTORS)
+    if author is not None:
+        return author
+    author = _first_text(root, ("[itemprop='author']",))
+    if author is not None:
+        return author
+    return _first_text(root, _BYLINE_CLASS_SELECTORS)
+
+
+def extract_native_published(root: dom.Element) -> str | None:
+    """metadata.rs:25-38,126-180: meta date tags → [itemprop=datePublished]
+    (datetime attribute wins unconditionally — the reference returns it
+    even when empty — else text) → time[datetime]."""
+    date = _first_attr(root, _META_DATE_SELECTORS)
+    if date is not None:
+        return date
+    node = dom.query_selector(root, "[itemprop='datePublished']")
+    if node is not None:
+        datetime_attr = node.get("datetime")
+        if datetime_attr is not None:
+            return datetime_attr.strip()
+        cleaned = node.inner_text().strip()
+        if cleaned:
+            return cleaned
+    return _first_attr(root, ("time[datetime]",), attr="datetime")
+
+
+def extract_native_description(root: dom.Element) -> str | None:
+    """metadata.rs:41-54: og:description → twitter:description → meta
+    description."""
+    return _first_attr(root, _DESCRIPTION_SELECTORS)
+
+
+def extract_native_site_name(root: dom.Element) -> str | None:
+    """metadata.rs:57-67: og:site_name only."""
+    return _first_attr(root, ("meta[property='og:site_name']",))
+
+
 def native_quality_score(text: str, markdown: str | None, title: str | None) -> int:
     """quality.rs:7-56 rubric; lengths in UTF-8 bytes (Rust str::len)."""
     score = 0
@@ -305,9 +397,14 @@ def _strip_html_tags(html: str) -> str:
     return _WS_RE.sub(" ", text).strip()
 
 
-def extract_native(html: str, url: str, min_quality: int = 15) -> NativeDoc:
-    """parse_headless_html + extract_with_fallbacks (parser.rs:77-216)."""
-    root = dom.parse(html)
+def extract_native(
+    html: str, url: str, min_quality: int = 15, root: dom.Element | None = None
+) -> NativeDoc:
+    """parse_headless_html + extract_with_fallbacks (parser.rs:77-216).
+    Pass an already-parsed ``root`` to avoid a second DOM parse when the
+    caller also runs the metadata chains."""
+    if root is None:
+        root = dom.parse(html)
     title = extract_native_title(root)
     content = extract_native_content(root)
     if content is not None:

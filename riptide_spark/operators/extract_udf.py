@@ -116,12 +116,27 @@ def _needs_escalation(doc: dict) -> bool:
 
 
 def _dom_heuristic_doc(text: str, url: str) -> dict:
-    """The headless-analog path: WASM-contract extraction for the metadata /
-    links / media / language / categories fields, with content, markdown,
-    title and quality replaced by the native DOM-heuristic ladder incl. its
-    fallback strategies (functions/native_extract.py — E7/E8/E16)."""
+    """The headless-analog path: WASM-contract extraction for the language /
+    categories fields, with content, markdown, title, quality AND the
+    byline/published/description/site_name chains replaced by the native
+    parser's own extractors (functions/native_extract.py — E7/E8/E16/E2′:
+    the richer itemprop/.author/time[datetime] chains of
+    native_parser/extractors/metadata.rs:9-209)."""
+    from ..functions.native_extract import (
+        extract_native_byline,
+        extract_native_description,
+        extract_native_published,
+        extract_native_site_name,
+    )
+    from ..html import dom as _dom
+
     doc = extract_document(text, url, "metadata")
-    native = extract_native(text, url)
+    root = _dom.parse(text)
+    native = extract_native(text, url, root=root)
+    doc["byline"] = extract_native_byline(root)
+    doc["published_iso"] = extract_native_published(root)
+    doc["description"] = extract_native_description(root)
+    doc["site_name"] = extract_native_site_name(root)
     doc["title"] = native.title if native.title is not None else doc["title"]
     doc["text"] = native.text
     doc["markdown"] = native.markdown or ""

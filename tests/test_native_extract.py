@@ -225,3 +225,122 @@ def test_native_fallback_docs_have_empty_links_media():
     doc = extract_native("<html><body><p>tiny</p></body></html>", "https://b.example.com/")
     assert doc.fallback is not None
     assert doc.links == [] and doc.media == []
+
+
+# ---------------------------------------------------------------------------
+# Native metadata chains (E2': extractors/metadata.rs:9-209)
+# ---------------------------------------------------------------------------
+
+
+def _meta_root(html: str):
+    from riptide_spark.html import dom
+
+    return dom.parse(html)
+
+
+def test_byline_meta_tag_priority():
+    from riptide_spark.functions.native_extract import extract_native_byline
+
+    root = _meta_root(
+        "<html><head><meta name='author' content=' Jane Roe '>"
+        "<meta property='article:author' content='Other'></head>"
+        "<body><span itemprop='author'>Schema Person</span></body></html>"
+    )
+    assert extract_native_byline(root) == "Jane Roe"
+
+
+def test_byline_schema_org_beats_class_selectors():
+    from riptide_spark.functions.native_extract import extract_native_byline
+
+    root = _meta_root(
+        "<html><body><span itemprop='author'> Schema Person </span>"
+        "<div class='author'>Class Person</div></body></html>"
+    )
+    assert extract_native_byline(root) == "Schema Person"
+
+
+def test_byline_class_selector_chain():
+    from riptide_spark.functions.native_extract import extract_native_byline
+
+    root = _meta_root(
+        "<html><body><div class='byline'>By Line</div>"
+        "<a rel='author'>Rel Author</a></body></html>"
+    )
+    assert extract_native_byline(root) == "By Line"
+    root = _meta_root("<html><body><a rel='author'> Rel Author </a></body></html>")
+    assert extract_native_byline(root) == "Rel Author"
+
+
+def test_byline_empty_values_fall_through():
+    from riptide_spark.functions.native_extract import extract_native_byline
+
+    root = _meta_root(
+        "<html><head><meta name='author' content='  '></head>"
+        "<body><p class='post-author'>Post Author</p></body></html>"
+    )
+    assert extract_native_byline(root) == "Post Author"
+
+
+def test_published_meta_then_itemprop_then_time():
+    from riptide_spark.functions.native_extract import (
+        extract_native_published,
+    )
+
+    root = _meta_root(
+        "<html><head><meta property='article:published_time' content='2024-01-02'>"
+        "</head><body><time datetime='2023-01-01'>old</time></body></html>"
+    )
+    assert extract_native_published(root) == "2024-01-02"
+    # itemprop datetime attribute wins over its text
+    root = _meta_root(
+        "<html><body><span itemprop='datePublished' datetime=' 2024-05-06 '>"
+        "May sixth</span></body></html>"
+    )
+    assert extract_native_published(root) == "2024-05-06"
+    # itemprop text when no datetime attr
+    root = _meta_root(
+        "<html><body><span itemprop='datePublished'>2024-07-08</span></body></html>"
+    )
+    assert extract_native_published(root) == "2024-07-08"
+    # time[datetime] is the last rung
+    root = _meta_root(
+        "<html><body><time datetime='2022-12-31'>NYE</time></body></html>"
+    )
+    assert extract_native_published(root) == "2022-12-31"
+
+
+def test_description_and_site_name_chains():
+    from riptide_spark.functions.native_extract import (
+        extract_native_description,
+        extract_native_site_name,
+    )
+
+    root = _meta_root(
+        "<html><head>"
+        "<meta property='og:description' content='OG desc'>"
+        "<meta name='description' content='Plain desc'>"
+        "<meta property='og:site_name' content='My Site'>"
+        "</head><body></body></html>"
+    )
+    assert extract_native_description(root) == "OG desc"
+    assert extract_native_site_name(root) == "My Site"
+    root = _meta_root(
+        "<html><head><meta name='twitter:description' content='TW desc'>"
+        "</head></html>"
+    )
+    assert extract_native_description(root) == "TW desc"
+
+
+def test_dom_path_carries_native_metadata():
+    from riptide_spark.operators.extract_udf import _extract_one
+
+    html = (
+        "<html><head><title>T</title></head><body>"
+        "<div class='byline'>Page Author</div>"
+        "<time datetime='2024-03-04'>March</time>"
+        "<p>Some body content for the dom path.</p></body></html>"
+    )
+    row = _extract_one(html.encode(), "https://x.example.com/a", "dom")
+    assert row["error"] is None
+    assert row["byline"] == "Page Author"
+    assert row["published_iso"] == "2024-03-04"
