@@ -298,13 +298,29 @@ def _q_css_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_native_dom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The native DOM-heuristic path (headless analog) over every page."""
+    """The native DOM-heuristic path (headless analog) over synthesized
+    article pages. Even doc_ids get an extra section of fixed prose so the
+    corpus exercises BOTH the primary content ladder (quality ≥ 60) and
+    the body-text fallback; ``udf_oracle_native_dom_extraction``
+    re-derives the clean-text assembly, markdown rendering and quality
+    rubric (content.rs:11-206, quality.rs:7-56) in SQL."""
     _ensure_lossy_decode(spark)
+    _register_views(spark, sf_dir)
     from riptide_spark.operators.extract_udf import extract_udf
 
-    pages = _pages_from_documents(spark, sf_dir)
+    did = "CAST(doc_id AS STRING)"
+    pages = spark.sql(
+        f"SELECT doc_id, 'https://native.example.com/doc/' || {did} AS url,"
+        f" '<html><head><title>Doc ' || {did} || '</title></head><body>'"
+        " || repeat('<script>var x=1;</script>', CAST(doc_id % 4 AS INT))"
+        f" || '<article><h1>Doc ' || {did} || '</h1><p>' || text || '</p>'"
+        " || CASE WHEN doc_id % 2 = 0 THEN '<h2>Section Alpha</h2><p>'"
+        "      || trim(repeat('alpha beta gamma delta epsilon zeta eta theta. ', 8))"
+        "      || '</p>' ELSE '' END"
+        " || '</article></body></html>' AS html FROM documents"
+    )
     out = pages.withColumn(
-        "ex", extract_udf(F.col("html"), F.col("url"), F.lit("dom"))
+        "ex", extract_udf(F.encode("html", "UTF-8"), F.col("url"), F.lit("dom"))
     )
     return out.select(
         "url",

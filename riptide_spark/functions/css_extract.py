@@ -224,21 +224,63 @@ class FieldConfig:
     merge_policy: str | None = None  # CssWins | OtherWins | Merge | FirstValid
 
 
+def _split_brackets(selector: str) -> list[tuple[bool, str]]:
+    """Split into (is_attribute_bracket, text) segments, quote-aware, so
+    pseudo-class rewrites never touch quoted attribute values (e.g. the
+    ':title' inside [property='og:title'])."""
+    segments: list[tuple[bool, str]] = []
+    plain: list[str] = []
+    i, n = 0, len(selector)
+    while i < n:
+        ch = selector[i]
+        if ch == "[":
+            if plain:
+                segments.append((False, "".join(plain)))
+                plain = []
+            j = i + 1
+            quote: str | None = None
+            while j < n:
+                cj = selector[j]
+                if quote is not None:
+                    if cj == quote:
+                        quote = None
+                elif cj in "'\"":
+                    quote = cj
+                elif cj == "]":
+                    break
+                j += 1
+            segments.append((True, selector[i : j + 1]))
+            i = j + 1
+        else:
+            plain.append(ch)
+            i += 1
+    if plain:
+        segments.append((False, "".join(plain)))
+    return segments
+
+
 def _clean_selector(selector: str) -> tuple[str, HasTextFilter | None]:
     """Strip :has-text() (returned as a post-filter) and positional
-    pseudo-classes (css_extraction.rs:317-351)."""
+    pseudo-classes (css_extraction.rs:317-351) — outside attribute
+    brackets only."""
     has_text = None
     match = _HAS_TEXT_CAPTURE_RE.search(selector)
     if match:
         has_text = HasTextFilter(pattern=match.group(1))
-    cleaned = _HAS_TEXT_RE.sub("", selector)
-    cleaned = _NTH_OF_TYPE_RE.sub(r":nth-child(\1)", cleaned)
-    cleaned = cleaned.replace(":first-of-type", ":first-child")
-    cleaned = cleaned.replace(":last-of-type", ":last-child")
-    # Positional pseudo-classes are outside the pinned selector subset —
-    # strip them (lenient, like the reference's approximation rewrites).
-    cleaned = _PSEUDO_RE.sub("", cleaned)
-    return cleaned.strip(), has_text
+    out: list[str] = []
+    for is_bracket, segment in _split_brackets(selector):
+        if is_bracket:
+            out.append(segment)
+            continue
+        segment = _HAS_TEXT_RE.sub("", segment)
+        segment = _NTH_OF_TYPE_RE.sub(r":nth-child(\1)", segment)
+        segment = segment.replace(":first-of-type", ":first-child")
+        segment = segment.replace(":last-of-type", ":last-child")
+        # Positional pseudo-classes are outside the pinned selector subset —
+        # strip them (lenient, like the reference's approximation rewrites).
+        segment = _PSEUDO_RE.sub("", segment)
+        out.append(segment)
+    return "".join(out).strip(), has_text
 
 
 def _element_text(el: dom.Element) -> str:

@@ -1000,11 +1000,108 @@ def udf_oracle_similarity_ann_ivf() -> str:
          CAST(ROUND(({overlap}) / 10.0, 6) AS DOUBLE) AS recall_at_k"""
 
 
+def udf_oracle_native_dom_extraction() -> str:
+    """Expected output of ``_q_native_dom``: the synthesized article page
+    is simple enough that the native ladder's behavior is a closed form —
+    clean text is the content-selector assembly (p texts, then h1, then
+    h2: content.rs:108-158), markdown is '# h1' + paragraphs + '## h2'
+    (content.rs:160-206), and the quality rubric (quality.rs:7-56) decides
+    primary (≥60 and >100 content bytes) vs the body-text fallback
+    (title 'Fallback Extraction', quality 40). Both strings are
+    reconstructed literally in SQL and measured."""
+    words = "len(regexp_split_to_array(trim(clean), '\\s+'))"
+    dots = "(length(clean) - length(replace(clean, '.', '')))"
+    ind = (
+        "(length(md) - length(replace(md, '#', '')))"
+        " + (length(md) - length(replace(md, '*', '')))"
+        " + (length(md) - length(replace(md, '[', '')))"
+    )
+    quality = f"""LEAST(20
+      + CASE WHEN octet_length(encode(clean)) > 2000 THEN 40
+             WHEN octet_length(encode(clean)) > 500 THEN 25
+             WHEN octet_length(encode(clean)) > 100 THEN 10 ELSE 0 END
+      + CASE WHEN {ind} > 10 THEN 20 WHEN {ind} > 5 THEN 12 WHEN {ind} > 2 THEN 6 ELSE 0 END
+      + CASE WHEN {words} > 500 THEN 10 WHEN {words} > 100 THEN 5 ELSE 0 END
+      + CASE WHEN {dots} > 10 THEN 10 WHEN {dots} > 3 THEN 5 ELSE 0 END, 100)"""
+    return f"""
+  WITH base AS (
+    SELECT doc_id, text,
+      'Doc ' || CAST(doc_id AS VARCHAR) AS docn,
+      trim(repeat('alpha beta gamma delta epsilon zeta eta theta. ', 8)) AS fs
+    FROM documents
+  ),
+  built AS (
+    SELECT doc_id, docn,
+      CASE WHEN doc_id % 2 = 0
+        THEN text || chr(10) || fs || chr(10) || docn || chr(10) || 'Section Alpha'
+        ELSE text || chr(10) || docn END AS clean,
+      CASE WHEN doc_id % 2 = 0
+        THEN '# ' || docn || chr(10) || chr(10) || text || chr(10) || chr(10)
+             || fs || chr(10) || chr(10) || '## Section Alpha' || chr(10) || chr(10)
+        ELSE '# ' || docn || chr(10) || chr(10) || text || chr(10) || chr(10) END AS md,
+      trim(repeat('var x=1;', CAST(doc_id % 4 AS INT)) || docn || text
+           || CASE WHEN doc_id % 2 = 0 THEN 'Section Alpha' || fs ELSE '' END) AS bodytext
+    FROM base
+  ),
+  scored AS (SELECT *, CAST({quality} AS INT) AS q FROM built)
+  SELECT 'https://native.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+    CASE WHEN octet_length(encode(clean)) > 100 AND q >= 60
+         THEN docn ELSE 'Fallback Extraction' END AS title,
+    CAST(CASE WHEN octet_length(encode(clean)) > 100 AND q >= 60
+         THEN length(clean) ELSE length(bodytext) END AS INT) AS text_chars,
+    CAST(CASE WHEN octet_length(encode(clean)) > 100 AND q >= 60
+         THEN q ELSE 40 END AS INT) AS quality_score,
+    CAST(CASE WHEN octet_length(encode(clean)) > 100 AND q >= 60
+         THEN length(md) ELSE 0 END AS INT) AS markdown_chars
+  FROM scored"""
+
+
+def udf_oracle_css_field_extraction() -> str:
+    """Expected output of ``_q_css_fields`` over the synthesized pages
+    (``pages_cte``): <title> is 'Doc N' (normalize_ws is identity on it),
+    the h1 field falls back to the title selector on pages without an
+    article header (doc_id%5!=0) and matches 'Doc N' either way, and the
+    og:title meta exists exactly when doc_id%3==0."""
+    return """
+  SELECT
+    'https://' || (CASE WHEN doc_id % 11 = 0 THEN 'en.wikipedia.org'
+                        WHEN doc_id % 7 = 0 THEN 'medium.com'
+                        ELSE source || '.example.com' END)
+      || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+    'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+    'Doc ' || CAST(doc_id AS VARCHAR) AS heading,
+    CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_og
+  FROM documents"""
+
+
+def udf_oracle_schema_extraction() -> str:
+    """Expected output of ``_q_schema_extraction`` over the synthesized
+    pages: the learned article schema extracts (title, content) on pages
+    with an <article><h1> (doc_id%5==0 → 2 fields, success), only the
+    og:title meta on og-bearing pages (doc_id%3==0 → title 'Doc', 1
+    field, no success), and nothing otherwise."""
+    return """
+  SELECT
+    'https://' || (CASE WHEN doc_id % 11 = 0 THEN 'en.wikipedia.org'
+                        WHEN doc_id % 7 = 0 THEN 'medium.com'
+                        ELSE source || '.example.com' END)
+      || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+    CASE WHEN doc_id % 5 = 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+         WHEN doc_id % 3 = 0 THEN 'Doc' ELSE NULL END AS title,
+    CAST(CASE WHEN doc_id % 5 = 0 THEN 2
+              WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS fields_extracted,
+    CAST(doc_id % 5 = 0 AS BOOLEAN) AS success
+  FROM documents"""
+
+
 UDF_ORACLES = {
+    "css_field_extraction": udf_oracle_css_field_extraction,
+    "schema_extraction": udf_oracle_schema_extraction,
     "table_extraction": udf_oracle_table_extraction,
     "pdf_extraction": udf_oracle_pdf_extraction,
     "similarity_ann_lsh": udf_oracle_similarity_ann_lsh,
     "similarity_ann_ivf": udf_oracle_similarity_ann_ivf,
+    "native_dom_extraction": udf_oracle_native_dom_extraction,
 }
 
 

@@ -145,3 +145,28 @@ def test_css_udf_spark(spark):
     )
     assert merged["merged"]["title"] == ["Product Alpha"]  # CssWins default
     assert merged["conflicts"][0]["field"] == "title"
+
+
+def test_attribute_value_with_colon_not_mangled():
+    """Regression: pseudo-class stripping must not eat ':title' inside a
+    quoted attribute selector (og:title / twitter:title)."""
+    from riptide_spark.functions.css_extract import (
+        FieldConfig,
+        _clean_selector,
+        extract_fields,
+    )
+
+    assert _clean_selector("meta[property='og:title']")[0] == "meta[property='og:title']"
+    html = (
+        "<html><head><meta property='og:title' content='OG T'>"
+        "<meta name='twitter:title' content='TW T'></head><body></body></html>"
+    )
+    out = extract_fields(
+        html,
+        "https://x/",
+        {
+            "og": FieldConfig(selector="meta[property='og:title']"),
+            "tw": FieldConfig(selector="meta[name='twitter:title']"),
+        },
+    )
+    assert out == {"og": ["OG T"], "tw": ["TW T"]}

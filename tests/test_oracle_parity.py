@@ -100,8 +100,8 @@ def test_rows_only_queries_run(spark, contract):
     for name in (
         "extract_pipeline",
         "chunk_spans",
-        "css_field_extraction",
-        "native_dom_extraction",
+        "topic_chunk_spans",
+        "strategy_composition",
     ):
         df = q[name](spark, SF_DIR)
         assert df.count() > 0, name
