@@ -47,7 +47,10 @@ BENCH_QUERIES = (
     "stratified_sample",
     "langid_stopwords",
     "similarity_cosine_topk",
+    "similarity_ann_lsh",
     "similarity_ann_ivf",
+    "table_extraction",
+    "pdf_extraction",
     "events_sessionization",
     "dim_broadcast_join",
     "topk_docs_per_lang",
@@ -66,8 +69,13 @@ def sf_of(sf_dir: str) -> float:
         return 0.1
 
 
+_CORPUS_V = 2  # bump when sources/pages.py changes page bodies (invalidates /tmp cache)
+
+
 def corpus_path(n: int) -> str:
-    return os.path.join(tempfile.gettempdir(), f"riptide_bench_pages_n{n}_s{SEED}")
+    return os.path.join(
+        tempfile.gettempdir(), f"riptide_bench_pages_v{_CORPUS_V}_n{n}_s{SEED}"
+    )
 
 
 def ensure_corpus(spark, n: int) -> str:
