@@ -154,6 +154,47 @@ def _q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fixed_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunker (chunking/fixed.rs:27-240) over documents.text:
+    char windows snapped to word then sentence boundaries. Unlike the
+    sliding chunker, the cursor walk is scalar string arithmetic, so the
+    DuckDB oracle replays it exactly with a recursive CTE
+    (``udf_oracle_fixed_chunk_spans``)."""
+    _ensure_lossy_decode(spark)
+    from pyspark.sql import types as T
+
+    from riptide_spark.functions.chunking import fixed_chunks
+
+    _register_views(spark, sf_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("n_chunks", T.IntegerType()),
+            T.StructField("total_tokens", T.LongType()),
+            T.StructField("last_end_pos", T.LongType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def chunk_stats(text: pd.Series) -> pd.DataFrame:
+        rows = []
+        for value in text:
+            chunks = fixed_chunks(value or "", size=60, by_tokens=True)
+            rows.append(
+                {
+                    "n_chunks": len(chunks),
+                    "total_tokens": sum(c.token_count for c in chunks),
+                    "last_end_pos": chunks[-1].end_pos if chunks else 0,
+                }
+            )
+        return pd.DataFrame(rows, columns=["n_chunks", "total_tokens", "last_end_pos"])
+
+    docs = spark.table("documents")
+    return docs.select("doc_id", chunk_stats(F.col("text")).alias("c")).select(
+        "doc_id", "c.n_chunks", "c.total_tokens", "c.last_end_pos"
+    )
+
+
 def _q_topic_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextTiling topic-chunker spans over documents.text (non-SQL op;
     functions/topic_chunking.py — topic.rs:680-745 port)."""
@@ -512,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Non-SQL-expressible operators: rows-only checks.
     out["extract_pipeline"] = _q_extract_pipeline
     out["chunk_spans"] = _q_chunk_spans
+    out["fixed_chunk_spans"] = _q_fixed_chunk_spans
     out["topic_chunk_spans"] = _q_topic_chunk_spans
     out["similarity_ann_lsh"] = _q_ann_lsh
     out["similarity_ann_ivf"] = _q_ann_ivf

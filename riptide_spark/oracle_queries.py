@@ -1094,8 +1094,223 @@ def udf_oracle_schema_extraction() -> str:
   FROM documents"""
 
 
+def _fixed_stepped(src: str, window: int) -> str:
+    """Nested-select pipeline computing the fixed chunker's step
+    (chunking/fixed.rs:27-240 semantics, mirrored from
+    functions/chunking.fixed_chunks) from (doc_id, text, n, start0):
+    window cap → last-whitespace snap → last-sentence-punctuation snap →
+    progress guard → whitespace skip to the next cursor. Text is printable
+    ASCII (verified for the corpus), so strpos(' ') == Python isspace."""
+    seg2 = "substr(text, start0 + 1, ws_end - start0)"
+
+    def last0(c: str) -> str:
+        return (
+            f"CASE WHEN strpos(reverse({seg2}), '{c}') > 0"
+            f" THEN (ws_end - start0) - strpos(reverse({seg2}), '{c}') ELSE -1 END"
+        )
+
+    return f"""(
+    SELECT s4.*, endp + length(regexp_extract(substr(text, endp + 1), '^\\s*')) AS next_start
+    FROM (
+      SELECT s3.*, CASE WHEN snap_end <= start0 THEN cap ELSE snap_end END AS endp
+      FROM (
+        SELECT s2.*,
+          CASE WHEN cap < n AND last0 >= 0 THEN start0 + last0 + 1 ELSE ws_end END AS snap_end
+        FROM (
+          SELECT s1.*, GREATEST({last0('.')}, {last0('!')}, {last0('?')}) AS last0
+          FROM (
+            SELECT s0.*,
+              CASE WHEN cap < n AND strpos(reverse(seg), ' ') > 0
+                   THEN cap - strpos(reverse(seg), ' ')
+                   ELSE cap END AS ws_end
+            FROM (
+              SELECT {src}.*, LEAST(start0 + {window}, n) AS cap,
+                     substr(text, start0 + 1, {window}) AS seg
+              FROM {src}
+            ) s0
+          ) s1
+        ) s2
+      ) s3
+    ) s4
+  )"""
+
+
+def udf_oracle_fixed_chunk_spans(size: int = 60) -> str:
+    """Expected output of ``_q_fixed_chunk_spans``: a recursive CTE replays
+    the fixed chunker's cursor walk exactly — each recursion step is one
+    chunk. token_count = int(words * 1.3) with identical IEEE double
+    math; texts shorter than 10 chars are a single whole-text chunk and
+    empty texts produce zero chunks (both mirrored from fixed_chunks)."""
+    window = size * 4
+    tokens = (
+        "CASE WHEN trim(content) = '' THEN 0 ELSE "
+        "CAST(floor(len(regexp_split_to_array(trim(content), '\\s+')) * 1.3) AS BIGINT) END"
+    )
+    return f"""
+  WITH RECURSIVE steps AS (
+    SELECT doc_id, text, length(text) AS n, 0 AS start0
+    FROM documents WHERE length(text) >= 10
+    UNION ALL
+    SELECT doc_id, text, n, next_start AS start0
+    FROM {_fixed_stepped('steps', window)} stepped
+    WHERE next_start < n
+  ),
+  chunk_rows AS (
+    SELECT doc_id, endp, substr(text, start0 + 1, endp - start0) AS content
+    FROM {_fixed_stepped('steps', window)} stepped
+  ),
+  small AS (
+    SELECT doc_id, length(text) AS endp, text AS content
+    FROM documents WHERE length(text) > 0 AND length(text) < 10
+  ),
+  all_chunks AS (SELECT * FROM chunk_rows UNION ALL SELECT * FROM small),
+  per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_chunks, SUM({tokens}) AS total_tokens,
+           MAX(endp) AS last_end_pos
+    FROM all_chunks GROUP BY doc_id
+  )
+  SELECT d.doc_id,
+         CAST(COALESCE(p.n_chunks, 0) AS INT) AS n_chunks,
+         CAST(COALESCE(p.total_tokens, 0) AS BIGINT) AS total_tokens,
+         CAST(COALESCE(p.last_end_pos, 0) AS BIGINT) AS last_end_pos
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+
+
+def _ct(expr: str) -> str:
+    """count_tokens(expr) in SQL: int(words * 1.3), identical IEEE math
+    (chunking/mod.rs:209-213 / functions/chunking.count_tokens)."""
+    return (
+        f"CASE WHEN trim({expr}) = '' THEN 0 ELSE "
+        f"CAST(floor(len(regexp_split_to_array(trim({expr}), '\\s+')) * 1.3) AS BIGINT) END"
+    )
+
+
+def udf_oracle_chunk_spans(window: int = 60, overlap: int = 12) -> str:
+    """Expected output of ``_q_chunk_spans``: a recursive CTE replays the
+    sliding-window chunker (sliding.rs:27-198 semantics, mirrored from
+    functions/chunking.sliding_window_chunks) one sentence per recursion
+    step, carrying (cursor, token/length accumulators, sentence buffer)
+    as state.
+
+    Sentence stream: words ending in .!? that are not abbreviations (the
+    mod.rs:343-347 list, or ≤4 chars with >1 uppercase) close a sentence;
+    sentences under 3 words are dropped. On overflow the chunk is emitted
+    and the buffer's maximal token-bounded suffix becomes the overlap
+    seed, with the cursor advanced by chunk length minus overlap length.
+    The corpus is printable ASCII, so char arithmetic equals the
+    reference's byte arithmetic."""
+    abbrevs = ", ".join(
+        f"'{a}'" for a in sorted(
+            {
+                "mr.", "mrs.", "ms.", "dr.", "prof.", "sr.", "jr.", "inc.",
+                "ltd.", "corp.", "co.", "etc.", "vs.", "vol.", "no.", "pp.",
+                "fig.", "ch.", "sec.", "dept.", "govt.", "u.s.", "u.k.",
+                "e.g.", "i.e.", "a.m.", "p.m.",
+            }
+        )
+    )
+    is_abbrev = (
+        f"(lower(w) IN ({abbrevs}) OR "
+        "(length(w) <= 4 AND length(regexp_replace(w, '[^A-Z]', '', 'g')) > 1))"
+    )
+    # Overlap suffix: token counts per buffer element, reversed; the walk
+    # takes elements from the end while the running sum stays <= overlap
+    # (monotone, so the cutoff is a simple prefix-sum count).
+    ov_cnt = (
+        "len(list_filter(range(1, len(buffer) + 1), "
+        f"k -> list_sum(list_slice(list_reverse(list_transform(buffer, s -> {_ct('s')})), 1, k)) <= {overlap}))"
+    )
+    ov = (
+        f"CASE WHEN brk AND {ov_cnt} > 0 "
+        f"THEN array_to_string(list_slice(buffer, len(buffer) - {ov_cnt} + 1, len(buffer)), ' ') "
+        "ELSE '' END"
+    )
+    return f"""
+  WITH RECURSIVE
+  words AS (
+    SELECT doc_id, w, i
+    FROM (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+             generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS i
+      FROM documents WHERE trim(text) <> ''
+    ) t
+  ),
+  flagged AS (
+    SELECT doc_id, w, i,
+      CASE WHEN regexp_matches(w, '[.!?]$') AND NOT {is_abbrev} THEN 1 ELSE 0 END AS is_end
+    FROM words
+  ),
+  grouped AS (
+    SELECT doc_id, w, i,
+      COALESCE(SUM(is_end) OVER (PARTITION BY doc_id ORDER BY i
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_id
+    FROM flagged
+  ),
+  sentences AS (
+    SELECT doc_id, sent_id, string_agg(w, ' ' ORDER BY i) AS sentence,
+           COUNT(*) AS n_words
+    FROM grouped GROUP BY doc_id, sent_id
+  ),
+  sent_lists AS (
+    SELECT doc_id, list(sentence ORDER BY sent_id) AS sents
+    FROM sentences WHERE n_words >= 3 GROUP BY doc_id
+  ),
+  walk AS (
+    SELECT doc_id, sents, len(sents) AS nsent, 0 AS i,
+           CAST(0 AS BIGINT) AS cur_tokens, CAST(0 AS BIGINT) AS cur_len,
+           CAST(0 AS BIGINT) AS start_pos,
+           CAST(0 AS BIGINT) AS n_chunks, CAST(0 AS BIGINT) AS total_tokens,
+           CAST([] AS VARCHAR[]) AS buffer
+    FROM sent_lists
+    UNION ALL
+    SELECT doc_id, sents, nsent, i + 1,
+           -- append s to the (possibly reset) current chunk
+           t_tokens + st AS cur_tokens,
+           t_len + (CASE WHEN t_len > 0 THEN 1 ELSE 0 END) + length(s) AS cur_len,
+           t_start AS start_pos,
+           t_nchunks AS n_chunks,
+           t_total AS total_tokens,
+           list_append(t_buffer, s) AS buffer
+    FROM (
+      SELECT s2.*,
+        CASE WHEN brk THEN {_ct('ovs')} ELSE cur_tokens END AS t_tokens,
+        CASE WHEN brk THEN length(ovs) ELSE cur_len END AS t_len,
+        CASE WHEN brk THEN start_pos + cur_len - length(ovs) ELSE start_pos END AS t_start,
+        CASE WHEN brk THEN n_chunks + 1 ELSE n_chunks END AS t_nchunks,
+        CASE WHEN brk THEN total_tokens + cur_tokens ELSE total_tokens END AS t_total,
+        CASE WHEN brk THEN (CASE WHEN ovs <> '' THEN [ovs] ELSE CAST([] AS VARCHAR[]) END)
+             ELSE buffer END AS t_buffer
+      FROM (
+        SELECT s1.*, {ov} AS ovs
+        FROM (
+          SELECT s0.*, (cur_tokens + st > {window} AND cur_len > 0) AS brk
+          FROM (
+            SELECT walk.*, sents[i + 1] AS s, {_ct('sents[i + 1]')} AS st
+            FROM walk
+          ) s0
+        ) s1
+      ) s2
+    ) stepped
+    WHERE i < nsent
+  ),
+  final AS (
+    SELECT doc_id,
+           n_chunks + (CASE WHEN cur_len > 0 THEN 1 ELSE 0 END) AS n_chunks,
+           total_tokens + (CASE WHEN cur_len > 0 THEN cur_tokens ELSE 0 END) AS total_tokens,
+           start_pos + cur_len AS last_end_pos
+    FROM walk WHERE i = nsent
+  )
+  SELECT d.doc_id,
+         CAST(COALESCE(f.n_chunks, 0) AS INT) AS n_chunks,
+         CAST(COALESCE(f.total_tokens, 0) AS BIGINT) AS total_tokens,
+         CAST(COALESCE(f.last_end_pos, 0) AS BIGINT) AS last_end_pos
+  FROM documents d LEFT JOIN final f USING (doc_id)"""
+
+
 UDF_ORACLES = {
+    "chunk_spans": udf_oracle_chunk_spans,
     "css_field_extraction": udf_oracle_css_field_extraction,
+    "fixed_chunk_spans": udf_oracle_fixed_chunk_spans,
     "schema_extraction": udf_oracle_schema_extraction,
     "table_extraction": udf_oracle_table_extraction,
     "pdf_extraction": udf_oracle_pdf_extraction,

@@ -99,7 +99,6 @@ def test_rows_only_queries_run(spark, contract):
     q = contract.queries()
     for name in (
         "extract_pipeline",
-        "chunk_spans",
         "topic_chunk_spans",
         "strategy_composition",
     ):
