@@ -7,9 +7,17 @@ engine's operator surface (SURVEY.md §2 + the training-data operators) as
 Spark-vs-DuckDB pairs generated from one dialect-parallel template
 (``riptide_spark/oracle_queries.py``).
 
-Non-SQL-expressible operators (the HTML extraction UDF itself, the
-sliding-window chunker, LSH ANN re-ranking) are exposed as rows-only
-queries without oracle entries, as the contract allows.
+Three queries remain rows-only, each for a stated reason:
+* ``extract_pipeline`` — the full HTML parser/extractor; not relational.
+  Its per-field semantics are pinned byte-identical to the reference's
+  five WASM golden snapshots by ``tests/test_golden.py`` (stricter than
+  an oracle hash).
+* ``topic_chunk_spans`` — TextTiling: float cosine profiles over word
+  windows + smoothing + depth scores; a SQL replay would hash-diverge on
+  float summation order. Pinned by ``tests/test_chunking.py``.
+* ``strategy_composition`` — the winner depends on three full extraction
+  paths over a parsed DOM; each path is independently oracled elsewhere
+  (goldens / ``native_dom_extraction`` / css oracles).
 """
 
 from __future__ import annotations
