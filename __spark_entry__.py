@@ -325,6 +325,60 @@ def _q_pdf_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over binary payloads: deterministic 24-bpp BMPs
+    synthesized from doc_id (size, background and a top-left marker pixel
+    are all functions of the id), decoded by the vendored codec through
+    the ``decode_images`` mapInPandas operator. Channel sums are exact
+    integers, so the oracle derives every column in closed form
+    (``udf_oracle_multimodal_decode``); the probe pixel pins row order
+    and stride padding."""
+    _ensure_lossy_decode(spark)
+    _register_views(spark, sf_dir)
+    from pyspark.sql import types as T
+
+    from riptide_spark.operators.multimodal import decode_images
+
+    docs = spark.table("documents").select("doc_id")
+
+    @F.pandas_udf(T.BinaryType())
+    def make_bmp(doc_id: pd.Series) -> pd.Series:
+        from riptide_spark.functions.bmp import encode_bmp
+
+        out = []
+        for i in doc_id:
+            i = int(i)
+            out.append(
+                encode_bmp(
+                    8 + i % 9,
+                    8 + i % 7,
+                    background=(i % 256, (i * 2) % 256, (i * 3) % 256),
+                    marker=((i * 5) % 256, (i * 7) % 256, (i * 11) % 256),
+                )
+            )
+        return pd.Series(out)
+
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        make_bmp("doc_id").alias("payload"),
+    )
+    out = decode_images(media)
+    n = F.col("width") * F.col("height")
+    return out.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "media_type",
+        "payload_bytes",
+        "width",
+        "height",
+        F.round(F.col("mean_r") * n, 0).cast("bigint").alias("sum_r"),
+        F.round(F.col("mean_g") * n, 0).cast("bigint").alias("sum_g"),
+        F.round(F.col("mean_b") * n, 0).cast("bigint").alias("sum_b"),
+        "probe_r",
+        "probe_g",
+        "probe_b",
+    )
+
+
 def _q_css_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSS-JSON field extraction with transformers over synthesized pages."""
     _ensure_lossy_decode(spark)
@@ -567,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["similarity_ann_ivf"] = _q_ann_ivf
     out["table_extraction"] = _q_table_extraction
     out["pdf_extraction"] = _q_pdf_extraction
+    out["multimodal_decode"] = _q_multimodal_decode
     # Operator-backed override: same values as the SQL rendering, but the
     # shingle+MinHash scan is checkpointed instead of recomputed per side.
     out["ngram_jaccard_pairs"] = _q_ngram_jaccard

@@ -3,12 +3,17 @@
 Training-data pipelines carry media as ``binary`` columns next to text. The
 Spark-side plumbing here is real and tested — schemas, magic-byte sniffing
 (native expressions), Arrow batch shape through ``mapInPandas``, partition
-sizing by payload bytes — while the codec innards are STUBS: the sandbox
-image has no PIL/ffmpeg/torchaudio, so ``decode_image``/``sample_frames``/
-``audio_features`` produce a deterministic md5-derived fake (or raise
-``NotImplementedError`` in strict mode) behind the same function signature a
-real decoder would use. Swap ``_decode_image_real`` in and nothing else
-changes.
+sizing by payload bytes. Codec status:
+
+* **BMP payloads decode for REAL** — 24-bpp parsing (headers, bottom-up
+  rows, stride padding) via the vendored pure-arithmetic codec in
+  ``functions/bmp.py``; features are true width/height, channel means and
+  a top-left probe pixel (which catches row-order/padding slips).
+* Formats that need codec libraries (JPEG/PNG/video/audio — no
+  PIL/ffmpeg/torchaudio in this image) keep the deterministic md5-derived
+  stand-in (or raise ``NotImplementedError`` in strict mode) behind the
+  same signature a real decoder would use; swap ``_decode_image_real`` in
+  and nothing else changes.
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ from pyspark.sql import types as T
 
 # Magic-byte signatures → media type; pure JVM-side sniffing.
 _MAGIC = (
+    ("image/bmp", b"BM"),
     ("image/jpeg", b"\xff\xd8\xff"),
     ("image/png", b"\x89PNG\r\n\x1a\n"),
     ("image/gif", b"GIF8"),
@@ -65,6 +71,12 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("probe_r", T.IntegerType()),
+        T.StructField("probe_g", T.IntegerType()),
+        T.StructField("probe_b", T.IntegerType()),
         T.StructField("decode_error", T.StringType()),
     ]
 )
@@ -103,38 +115,69 @@ def decode_images(
     and emit results incrementally.
     """
 
+    from ..functions.bmp import BmpInvalid, decode_bmp
+
+    def _row(media_id, payload: bytes, **kw) -> dict:
+        base = {
+            "media_id": str(media_id),
+            "media_type": None,
+            "payload_bytes": len(payload),
+            "width": None,
+            "height": None,
+            "embedding": None,
+            "mean_r": None,
+            "mean_g": None,
+            "mean_b": None,
+            "probe_r": None,
+            "probe_g": None,
+            "probe_b": None,
+            "decode_error": None,
+        }
+        base.update(kw)
+        return base
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload) if payload is not None else b""
+                if payload[:2] == b"BM":
+                    # REAL decode path (vendored 24-bpp BMP codec).
+                    try:
+                        img = decode_bmp(payload)
+                        mr, mg, mb = img.channel_means()
+                        pr, pg, pb = img.pixels[0][1] if img.width > 1 else img.pixels[0][0]
+                        embedding = [
+                            mr / 255.0, mg / 255.0, mb / 255.0,
+                            pr / 255.0, pg / 255.0, pb / 255.0,
+                        ][:dims]
+                        rows.append(
+                            _row(
+                                media_id, payload,
+                                media_type="image/bmp",
+                                width=img.width, height=img.height,
+                                embedding=embedding,
+                                mean_r=round(mr, 6), mean_g=round(mg, 6),
+                                mean_b=round(mb, 6),
+                                probe_r=pr, probe_g=pg, probe_b=pb,
+                            )
+                        )
+                    except BmpInvalid as exc:
+                        rows.append(_row(media_id, payload, decode_error=f"bmp: {exc}"))
+                    continue
                 try:
                     if strict:
                         _decode_image_real(payload)
                     width, height, embedding = _fake_decode(payload, dims)
                     rows.append(
-                        {
-                            "media_id": str(media_id),
-                            "media_type": "image/stub",
-                            "payload_bytes": len(payload),
-                            "width": width,
-                            "height": height,
-                            "embedding": embedding,
-                            "decode_error": None,
-                        }
+                        _row(
+                            media_id, payload,
+                            media_type="image/stub",
+                            width=width, height=height, embedding=embedding,
+                        )
                     )
                 except NotImplementedError as exc:
-                    rows.append(
-                        {
-                            "media_id": str(media_id),
-                            "media_type": None,
-                            "payload_bytes": len(payload),
-                            "width": None,
-                            "height": None,
-                            "embedding": None,
-                            "decode_error": str(exc),
-                        }
-                    )
+                    rows.append(_row(media_id, payload, decode_error=str(exc)))
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
 
     return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)

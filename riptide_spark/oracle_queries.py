@@ -1307,8 +1307,35 @@ def udf_oracle_chunk_spans(window: int = 60, overlap: int = 12) -> str:
   FROM documents d LEFT JOIN final f USING (doc_id)"""
 
 
+def udf_oracle_multimodal_decode() -> str:
+    """Expected output of ``_q_multimodal_decode``: the BMP generator's
+    parameters are closed-form in doc_id — size 8+id%9 × 8+id%7, uniform
+    background (id, 2id, 3id mod 256) with one marker pixel (5id, 7id,
+    11id mod 256) — so payload size (54-byte headers + padded stride ×
+    height), exact integer channel sums and the probe pixel all derive
+    directly."""
+    w = "(8 + doc_id % 9)"
+    h = "(8 + doc_id % 7)"
+    n = f"({w} * {h})"
+    stride = f"(({w} * 3 + 3) // 4 * 4)"
+    return f"""
+  SELECT doc_id,
+    'image/bmp' AS media_type,
+    CAST(54 + {h} * {stride} AS BIGINT) AS payload_bytes,
+    CAST({w} AS INT) AS width,
+    CAST({h} AS INT) AS height,
+    CAST((doc_id % 256) * ({n} - 1) + (doc_id * 5) % 256 AS BIGINT) AS sum_r,
+    CAST(((doc_id * 2) % 256) * ({n} - 1) + (doc_id * 7) % 256 AS BIGINT) AS sum_g,
+    CAST(((doc_id * 3) % 256) * ({n} - 1) + (doc_id * 11) % 256 AS BIGINT) AS sum_b,
+    CAST((doc_id * 5) % 256 AS INT) AS probe_r,
+    CAST((doc_id * 7) % 256 AS INT) AS probe_g,
+    CAST((doc_id * 11) % 256 AS INT) AS probe_b
+  FROM documents"""
+
+
 UDF_ORACLES = {
     "chunk_spans": udf_oracle_chunk_spans,
+    "multimodal_decode": udf_oracle_multimodal_decode,
     "css_field_extraction": udf_oracle_css_field_extraction,
     "fixed_chunk_spans": udf_oracle_fixed_chunk_spans,
     "schema_extraction": udf_oracle_schema_extraction,
