@@ -14,8 +14,17 @@ idempotent resume and the metrics sidecar. On a real cluster:
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 
 from pyspark.sql import SparkSession
+
+# Under spark-submit --py-files the package ships with the job; standalone
+# (python jobs/extract_job.py) the repo root must join sys.path itself.
+try:  # noqa: SIM105
+    import riptide_spark  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

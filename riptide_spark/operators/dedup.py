@@ -156,7 +156,28 @@ def minhash_band_buckets(
     return _explode_bands(sig, id_col, num_hashes, band_size)
 
 
-def _pairs_from_buckets(buckets: DataFrame, id_col: str) -> DataFrame:
+def _pairs_from_buckets(
+    buckets: DataFrame, id_col: str, bucket_size_cap: int | None = None
+) -> DataFrame:
+    """Self-join each (band, bucket) group into candidate pairs.
+
+    ``bucket_size_cap`` guards the 100 TB pathology: a bucket holding k
+    documents contributes k² join rows, and boilerplate floods (millions
+    of byte-identical pages) put millions of docs in ONE bucket. Buckets
+    above the cap are dropped before the join — their members are
+    byte-near-identical en masse and belong to the exact-dup pass
+    (``exact_duplicate_groups``), which handles them in one linear
+    groupBy instead of a quadratic pair expansion. None (the default)
+    keeps the exhaustive semantics the oracles pin."""
+    if bucket_size_cap is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bucket_n")
+        )
+        buckets = (
+            buckets.join(sizes, ["band", "bucket"])
+            .filter(F.col("_bucket_n") <= bucket_size_cap)
+            .drop("_bucket_n")
+        )
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -178,17 +199,20 @@ def minhash_candidate_pairs(
     num_hashes: int = DEFAULT_MINHASHES,
     band_size: int = 2,
     materialize: bool = False,
+    bucket_size_cap: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH bucket.
 
     With ``materialize=True`` the (id, band, bucket) frame — tiny: one
     16-byte hash per band per doc — is ``localCheckpoint``-ed before the
     self-join, so the expensive shingle+MinHash scan runs ONCE instead of
-    once per join side. Lazy by default for composability."""
+    once per join side. Lazy by default for composability.
+    ``bucket_size_cap`` bounds the per-bucket pair blow-up at corpus
+    scale (see ``_pairs_from_buckets``)."""
     buckets = minhash_band_buckets(df, text_col, id_col, num_hashes, band_size)
     if materialize:
         buckets = buckets.localCheckpoint()
-    return _pairs_from_buckets(buckets, id_col)
+    return _pairs_from_buckets(buckets, id_col, bucket_size_cap)
 
 
 def ngram_jaccard_pairs(

@@ -319,3 +319,23 @@ def test_connected_components_paths_agree(spark):
         for r in connected_components(pairs, driver_edge_threshold=0).collect()
     )
     assert fast == dist
+
+
+def test_minhash_bucket_size_cap_drops_flood_buckets(spark):
+    from riptide_spark.operators.dedup import minhash_candidate_pairs
+
+    # 30 byte-identical docs (a boilerplate flood: one bucket per band holds
+    # all of them) + 2 near-identical docs that form a small bucket.
+    flood = [(i, "the exact same boilerplate page body repeated verbatim")
+             for i in range(30)]
+    pair = [(100, "a unique document about spark physical plans and shuffles"),
+            (101, "a unique document about spark physical plans and shuffles")]
+    corpus = spark.createDataFrame(flood + pair, "doc_id long, text string")
+
+    uncapped = minhash_candidate_pairs(corpus).collect()
+    assert sum(1 for r in uncapped if r["id_a"] < 100) == 30 * 29 // 2
+
+    capped = {(r["id_a"], r["id_b"])
+              for r in minhash_candidate_pairs(corpus, bucket_size_cap=10).collect()}
+    # Flood buckets (30 > cap) are dropped; the small pair survives.
+    assert capped == {(100, 101)}
