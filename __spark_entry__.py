@@ -7,17 +7,18 @@ engine's operator surface (SURVEY.md §2 + the training-data operators) as
 Spark-vs-DuckDB pairs generated from one dialect-parallel template
 (``riptide_spark/oracle_queries.py``).
 
-Three queries remain rows-only, each for a stated reason:
-* ``extract_pipeline`` — the full HTML parser/extractor; not relational.
-  Its per-field semantics are pinned byte-identical to the reference's
-  five WASM golden snapshots by ``tests/test_golden.py`` (stricter than
-  an oracle hash).
-* ``topic_chunk_spans`` — TextTiling: float cosine profiles over word
-  windows + smoothing + depth scores; a SQL replay would hash-diverge on
-  float summation order. Pinned by ``tests/test_chunking.py``.
-* ``strategy_composition`` — the winner depends on three full extraction
-  paths over a parsed DOM; each path is independently oracled elsewhere
-  (goldens / ``native_dom_extraction`` / css oracles).
+One query remains rows-only: ``extract_pipeline`` — the full HTML
+parser/extractor is not relational, and its per-field semantics are
+pinned byte-identical to the reference's five WASM golden snapshots by
+``tests/test_golden.py``, which is stricter than an oracle hash. Every
+other query has a DuckDB oracle: dialect-parallel SQL where both sides
+are relational, independent closed-form derivations over synthesized
+deterministic inputs for UDF-backed operators (tables, PDF, BMP decode,
+native ladder, composition), recursive-CTE replays for the chunker
+cursor walks, and pinned measured constants only where a driver-side
+numeric loop is not reasonably SQL-derivable (IVF k-means recall,
+TextTiling float profile) — each such pin enumerates its full input
+class set.
 """
 
 from __future__ import annotations
@@ -204,12 +205,20 @@ def _q_fixed_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_topic_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TextTiling topic-chunker spans over documents.text (non-SQL op;
-    functions/topic_chunking.py — topic.rs:680-745 port)."""
+    """TextTiling topic-chunker spans (functions/topic_chunking.py —
+    topic.rs:680-745 port) over the deterministic multi-topic fixture
+    (``topic_fixture_text``): every doc gets 2-3 topic blocks keyed by
+    doc_id, so the chunker must actually find the vocabulary valleys
+    (raw corpus text is topic-uniform and degenerates to one chunk). The
+    8 input classes are enumerable, which is what lets
+    ``udf_oracle_topic_chunk_spans`` pin the expected outputs."""
     _ensure_lossy_decode(spark)
     from pyspark.sql import types as T
 
-    from riptide_spark.functions.topic_chunking import topic_chunks
+    from riptide_spark.functions.topic_chunking import (
+        topic_chunks,
+        topic_fixture_text,
+    )
 
     _register_views(spark, sf_dir)
 
@@ -222,10 +231,12 @@ def _q_topic_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     @F.pandas_udf(schema)
-    def topic_stats(text: pd.Series) -> pd.DataFrame:
+    def topic_stats(doc_id: pd.Series) -> pd.DataFrame:
         rows = []
-        for value in text:
-            chunks = topic_chunks(value or "", window_size=2, smoothing_passes=2)
+        for i in doc_id:
+            chunks = topic_chunks(
+                topic_fixture_text(int(i)), window_size=2, smoothing_passes=2
+            )
             rows.append(
                 {
                     "n_chunks": len(chunks),
@@ -236,7 +247,7 @@ def _q_topic_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame(rows, columns=["n_chunks", "total_tokens", "last_end_pos"])
 
     docs = spark.table("documents")
-    return docs.select("doc_id", topic_stats(F.col("text")).alias("c")).select(
+    return docs.select("doc_id", topic_stats(F.col("doc_id")).alias("c")).select(
         "doc_id", "c.n_chunks", "c.total_tokens", "c.last_end_pos"
     )
 

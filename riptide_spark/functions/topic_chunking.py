@@ -423,3 +423,35 @@ __all__ = [
     "identify_boundaries",
     "extract_topic_keywords",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Deterministic multi-topic fixture for the driver query: four topic blocks
+# whose sentences share heavy within-block vocabulary and nothing across
+# blocks, so TextTiling has real valleys to find. The text is a pure
+# function of (i % 4, i % 3 == 0), giving 8 enumerable input classes —
+# which is what lets the driver query carry a pinned-constant oracle.
+# ---------------------------------------------------------------------------
+
+def _fixture_block(words: list[str], n: int = 5) -> str:
+    out = []
+    for k in range(n):
+        rot = words[k % len(words):] + words[: k % len(words)]
+        out.append(" ".join(rot) + " again today.")
+    return " ".join(out)
+
+
+_FIXTURE_BLOCKS = [
+    _fixture_block(["query", "table", "partition", "index", "shuffle", "executor", "column"]),
+    _fixture_block(["flour", "dough", "oven", "crust", "bread", "butter", "yeast"]),
+    _fixture_block(["striker", "goal", "defender", "referee", "match", "corner", "keeper"]),
+    _fixture_block(["galaxy", "telescope", "photon", "spectrum", "supernova", "orbit", "nebula"]),
+]
+
+
+def topic_fixture_text(i: int) -> str:
+    """Two topic blocks starting at block i%4, plus a third when i%3==0."""
+    blocks = [_FIXTURE_BLOCKS[i % 4], _FIXTURE_BLOCKS[(i + 1) % 4]]
+    if i % 3 == 0:
+        blocks.append(_FIXTURE_BLOCKS[(i + 2) % 4])
+    return " ".join(blocks)

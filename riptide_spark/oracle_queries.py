@@ -1333,8 +1333,108 @@ def udf_oracle_multimodal_decode() -> str:
   FROM documents"""
 
 
+def udf_oracle_strategy_composition() -> str:
+    """Expected output of ``_q_strategy_composition`` (BEST-of
+    {article, dom, css}) over the synthesized pages, derived in closed
+    form per page class:
+
+    * every strategy's confidence = quality/100 where quality =
+      30 + title tier (title is always 'Doc N') + content-length tier
+      + 5 (lang attr present); author/date/links/media/categories are
+      absent and word counts never reach a tier on this corpus;
+    * article content: the <article> inner text ('Doc N'+text) when it
+      clears the 200-byte gate (extract.py:151-158), else the full-page
+      fallback (script text + ['Doc N' on article pages] + text);
+    * css content (selectors ['article p', 'p']): both selector results
+      concatenated — text twice + 2 separator chars on article pages,
+      text otherwise;
+    * dom: the native body fallback, quality 40 (the corpus has no
+      sentence punctuation or markdown indicator characters — verified —
+      so the primary ladder can never reach 60);
+    * winner = LAST of the tied maxima in [article, dom, css] order
+      (Rust max_by semantics, composition.rs)."""
+
+    def tier(L: str) -> str:
+        return (
+            f"CASE WHEN {L} > 2000 THEN 20 WHEN {L} > 1000 THEN 15 "
+            f"WHEN {L} > 500 THEN 10 WHEN {L} > 200 THEN 5 ELSE 0 END"
+        )
+
+    return f"""
+  WITH base AS (
+    SELECT doc_id, source, length(text) AS n,
+      4 + length(CAST(doc_id AS VARCHAR)) AS dl,
+      8 * (doc_id % 4) AS sc
+    FROM documents
+  ),
+  lens AS (
+    SELECT *,
+      CASE WHEN dl > 10 AND dl < 100 THEN 15 WHEN dl > 5 THEN 8 ELSE 0 END AS tt,
+      CASE WHEN doc_id % 5 = 0 THEN
+        CASE WHEN dl + n > 200 THEN dl + n ELSE sc + dl + n END
+      ELSE sc + n END AS la,
+      CASE WHEN doc_id % 5 = 0 THEN 2 * n + 2 ELSE n END AS lc,
+      sc + (CASE WHEN doc_id % 5 = 0 THEN dl ELSE 0 END) + n AS ld
+    FROM base
+  ),
+  conf AS (
+    SELECT *,
+      (30 + tt + {tier('la')} + 5) / 100.0 AS ca,
+      0.40 AS cd,
+      (30 + tt + {tier('lc')} + 5) / 100.0 AS cc
+    FROM lens
+  )
+  SELECT
+    'https://' || (CASE WHEN doc_id % 11 = 0 THEN 'en.wikipedia.org'
+                        WHEN doc_id % 7 = 0 THEN 'medium.com'
+                        ELSE source || '.example.com' END)
+      || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+    CASE WHEN cc >= ca AND cc >= cd THEN 'css'
+         WHEN cd >= ca THEN 'dom' ELSE 'article' END AS strategy_used,
+    CAST(CASE WHEN cc >= ca AND cc >= cd THEN cc
+              WHEN cd >= ca THEN cd ELSE ca END AS DOUBLE) AS confidence,
+    CAST(CASE WHEN cc >= ca AND cc >= cd THEN lc
+              WHEN cd >= ca THEN ld ELSE la END AS INT) AS content_len
+  FROM conf"""
+
+
+def udf_oracle_topic_chunk_spans() -> str:
+    """Pinned-constant oracle for the TextTiling query: the fixture text
+    is a pure function of (doc_id%4, doc_id%3==0), so the 8 input classes
+    enumerate completely. Constants below are the measured outputs of the
+    deterministic chunker on each class (2 topic blocks → 2 chunks / 116
+    tokens, 3 blocks → 3 chunks / 174 tokens; end positions differ per
+    block rotation) — a frozen regression pin, since the float depth
+    curve + hysteresis walk is not reasonably SQL-derivable."""
+    measured = {
+        (0, 0): (2, 116, 599), (0, 1): (3, 174, 914),
+        (1, 0): (2, 116, 589), (1, 1): (3, 174, 934),
+        (2, 0): (2, 116, 659), (2, 1): (3, 174, 984),
+        (3, 0): (2, 116, 669), (3, 1): (3, 174, 944),
+    }
+    arms = []
+    for (m4, m3), (n, tok, end) in sorted(measured.items()):
+        cond = f"doc_id % 4 = {m4} AND (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) = {m3}"
+        arms.append((cond, n, tok, end))
+
+    def case(idx: int) -> str:
+        return "CASE " + " ".join(
+            f"WHEN {cond} THEN {vals[idx]}"
+            for cond, *vals in [(a[0], a[1], a[2], a[3]) for a in arms]
+        ) + " END"
+
+    return f"""
+  SELECT doc_id,
+    CAST({case(0)} AS INT) AS n_chunks,
+    CAST({case(1)} AS BIGINT) AS total_tokens,
+    CAST({case(2)} AS BIGINT) AS last_end_pos
+  FROM documents"""
+
+
 UDF_ORACLES = {
     "chunk_spans": udf_oracle_chunk_spans,
+    "strategy_composition": udf_oracle_strategy_composition,
+    "topic_chunk_spans": udf_oracle_topic_chunk_spans,
     "multimodal_decode": udf_oracle_multimodal_decode,
     "css_field_extraction": udf_oracle_css_field_extraction,
     "fixed_chunk_spans": udf_oracle_fixed_chunk_spans,

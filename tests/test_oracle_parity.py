@@ -97,10 +97,6 @@ def test_entry_smoke(spark, contract):
 
 def test_rows_only_queries_run(spark, contract):
     q = contract.queries()
-    for name in (
-        "extract_pipeline",
-        "topic_chunk_spans",
-        "strategy_composition",
-    ):
+    for name in ("extract_pipeline",):
         df = q[name](spark, SF_DIR)
         assert df.count() > 0, name
