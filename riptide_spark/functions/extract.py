@@ -549,13 +549,17 @@ def extract_document(
     url: str,
     mode: str = "article",
     selectors: list[str] | None = None,
+    root: "dom.Element | None" = None,
 ) -> dict:
     """Extract one document. Mirrors ``perform_enhanced_extraction``
-    (lib.rs:555-573). Raises :class:`ExtractionInvalid` on rejected input."""
+    (lib.rs:555-573). Raises :class:`ExtractionInvalid` on rejected input.
+    Pass an already-parsed ``root`` (of the same html) to skip the parse —
+    the probe-then-escalate path reuses one parse across both phases."""
     validate_input(html, url)
     validate_mode(mode, selectors)
 
-    root = dom.parse(html)
+    if root is None:
+        root = dom.parse(html)
 
     title = extract_title(root)
     byline = extract_meta_content(root, ("author", "article:author"))

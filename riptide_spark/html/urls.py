@@ -25,6 +25,9 @@ MAX_URL_LEN = 2048  # bytes — common_validation.rs:34 (Rust str::len)
 _DEFAULT_PORTS = {"http": 80, "https": 443}
 # Characters the url crate rejects inside a domain (invalid-domain-character).
 _BAD_HOST_CHARS = ' \t\n\r<>"{}|\\^`%'
+import re as _re
+
+_BAD_HOST_RE = _re.compile("[" + _re.escape(_BAD_HOST_CHARS) + "]")
 
 # WHATWG percent-encode sets (url crate serialization): controls and
 # non-ASCII always; plus these per component. Special schemes (http/https)
@@ -55,7 +58,7 @@ def parse_ok(url: str) -> bool:
         host = parts.hostname or ""
     except ValueError:
         return False
-    return bool(host) and not any(c in host for c in _BAD_HOST_CHARS)
+    return bool(host) and _BAD_HOST_RE.search(host) is None
 
 
 _CACHE_INPUT_LIMIT = 1024  # don't let multi-KB tracking URLs bloat the cache
@@ -82,10 +85,27 @@ def _resolve_url_cached(base: str, href: str) -> str | None:
     return _resolve_url_impl(base, href)
 
 
+_NEEDS_ENCODE_RE: dict[str, "object"] = {}
+
+
+def _needs_encode_re(extra: str):
+    rx = _NEEDS_ENCODE_RE.get(extra)
+    if rx is None:
+        import re
+
+        # Encode anything outside printable ASCII 0x20-0x7E, plus `extra`.
+        rx = re.compile("[^\x20-\x7e]|[" + re.escape(extra) + "]" if extra else "[^\x20-\x7e]")
+        _NEEDS_ENCODE_RE[extra] = rx
+    return rx
+
+
 def _percent_encode(component: str, extra: str) -> str:
     """Percent-encode controls, non-ASCII (as UTF-8) and ``extra`` chars,
     leaving existing %XX sequences untouched (the url crate does not
-    re-encode '%')."""
+    re-encode '%'). Clean components (the overwhelming case in the hot
+    link-extraction path) return unchanged after one C-speed regex scan."""
+    if _needs_encode_re(extra).search(component) is None:
+        return component
     out: list[str] = []
     for ch in component:
         o = ord(ch)
@@ -116,7 +136,14 @@ def _resolve_url_impl(base: str, href: str) -> str | None:
     if (_scheme_of(href) or _scheme_of(base)) in ("http", "https"):
         href = href.replace("\\", "/")
     try:
-        joined = urljoin(base, href)
+        # Absolute http(s) hrefs pass through urljoin unchanged (RFC 3986
+        # §5.2.2 non-strict merge never fires when the href has a scheme
+        # and authority); skip the double urlparse. Pinned by the
+        # differential test in tests/test_urls_fastpath.py.
+        if href.startswith(("http://", "https://")):
+            joined = href
+        else:
+            joined = urljoin(base, href)
     except ValueError:
         return None
     had_fragment = "#" in href or "#" in joined
@@ -139,7 +166,7 @@ def _resolve_url_impl(base: str, href: str) -> str | None:
         port = parts.port
     except ValueError:
         return None
-    if not host or any(c in host for c in _BAD_HOST_CHARS):
+    if not host or _BAD_HOST_RE.search(host) is not None:
         return None
     if not host.isascii():
         # The url crate punycodes IDN hosts (UTS-46); Python's idna codec

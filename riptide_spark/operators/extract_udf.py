@@ -115,13 +115,23 @@ def _needs_escalation(doc: dict) -> bool:
     return quality < 30 or words < 50 or (quality < 50 and words < 100)
 
 
-def _dom_heuristic_doc(text: str, url: str) -> dict:
-    """The headless-analog path: WASM-contract extraction for the language /
-    categories fields, with content, markdown, title, quality AND the
-    byline/published/description/site_name chains replaced by the native
-    parser's own extractors (functions/native_extract.py — E7/E8/E16/E2′:
-    the richer itemprop/.author/time[datetime] chains of
-    native_parser/extractors/metadata.rs:9-209)."""
+def _dom_heuristic_doc(text: str, url: str, root=None) -> dict:
+    """The headless-analog path: ONE DOM parse feeding the native content
+    ladder + markdown + quality (functions/native_extract.py — E7/E8/E16),
+    the native metadata chains (E2′: the itemprop/.author/time[datetime]
+    chains of native_parser/extractors/metadata.rs:9-209), the native
+    link/media extractors (parser.rs:101-112), and the shared
+    language/category detectors. The earlier implementation ran the full
+    WASM-contract extraction first and overwrote almost everything it
+    computed — including per-link URL resolution — with native results;
+    only language and categories survived, so only those are computed
+    from the WASM side now."""
+    from ..functions.extract import (
+        detect_language,
+        extract_categories,
+        extract_title,
+        validate_input,
+    )
     from ..functions.native_extract import (
         extract_native_byline,
         extract_native_description,
@@ -130,25 +140,29 @@ def _dom_heuristic_doc(text: str, url: str) -> dict:
     )
     from ..html import dom as _dom
 
-    doc = extract_document(text, url, "metadata")
-    root = _dom.parse(text)
+    validate_input(text, url)
+    if root is None:
+        root = _dom.parse(text)
     native = extract_native(text, url, root=root)
-    doc["byline"] = extract_native_byline(root)
-    doc["published_iso"] = extract_native_published(root)
-    doc["description"] = extract_native_description(root)
-    doc["site_name"] = extract_native_site_name(root)
-    doc["title"] = native.title if native.title is not None else doc["title"]
-    doc["text"] = native.text
-    doc["markdown"] = native.markdown or ""
-    doc["quality_score"] = native.quality_score
-    doc["word_count"] = native.word_count
-    doc["reading_time"] = native.reading_time
-    # Native parser path uses its own link/media extractors
-    # (parser.rs:101-112 → extractors/{links,media}.rs); fallback docs
-    # carry empty lists (fallbacks.rs:19-41).
-    doc["links"] = native.links if native.links is not None else []
-    doc["media"] = native.media if native.media is not None else []
-    return doc
+    title = native.title if native.title is not None else extract_title(root)
+    return {
+        "url": url,
+        "title": title,
+        "byline": extract_native_byline(root),
+        "published_iso": extract_native_published(root),
+        "description": extract_native_description(root),
+        "site_name": extract_native_site_name(root),
+        "text": native.text,
+        "markdown": native.markdown or "",
+        "quality_score": native.quality_score,
+        "word_count": native.word_count,
+        "reading_time": native.reading_time,
+        # Fallback docs carry empty link/media lists (fallbacks.rs:19-41).
+        "links": native.links if native.links is not None else [],
+        "media": native.media if native.media is not None else [],
+        "language": detect_language(root),
+        "categories": extract_categories(root),
+    }
 
 
 def _extract_one(html, url: str, mode: str) -> dict:
@@ -186,10 +200,18 @@ def _extract_one(html, url: str, mode: str) -> dict:
             # escalate to the heavy DOM-heuristic pass *row-locally*. Doing
             # this inside the UDF instead of a second Spark pass avoids a
             # url-keyed shuffle/join at 10^12-row scale — escalation depends
-            # only on row-local data, so there is nothing to co-locate.
-            doc = extract_document(text, url, "article")
+            # only on row-local data, so there is nothing to co-locate. The
+            # parse is shared across both phases (parsing dominates the
+            # pure-Python cost).
+            from ..html import dom as _dom
+
+            from ..functions.extract import validate_input as _vi
+
+            _vi(text, url)
+            root = _dom.parse(text)
+            doc = extract_document(text, url, "article", root=root)
             if _needs_escalation(doc):
-                doc = _dom_heuristic_doc(text, url)
+                doc = _dom_heuristic_doc(text, url, root=root)
                 escalated = True
         elif mode == "dom":
             doc = _dom_heuristic_doc(text, url)
