@@ -397,6 +397,14 @@ def query_selector_all(root: Element, selector: str) -> list[Element]:
     root._ensure_index()
     if len(compiled.chains) == 1:
         chain = compiled.chains[0]
+        if len(chain) == 1:
+            simple = chain[0]
+            candidates = _chain_candidates(root, chain)
+            # Bare-tag selector ("p", "h2", …): the tag index IS the
+            # answer — the hot case for the native content ladder.
+            if simple.tag is not None and not simple.conds:
+                return list(candidates)
+            return [el for el in candidates if simple.matches(el)]
         return [
             el
             for el in _chain_candidates(root, chain)
