@@ -390,6 +390,20 @@ def _chain_candidates(root: Element, chain: list[_SimpleSelector]) -> list[Eleme
     return root._flat
 
 
+def _chain_feasible(root: Element, chain: list[_SimpleSelector]) -> bool:
+    """Cheap pruning for descendant chains: if any ancestor simple matches
+    NOTHING in the document (the common case for breadcrumb/nav selectors
+    on ordinary pages), the chain can't match — one early-exit scan per
+    ancestor beats an ancestor walk per candidate."""
+    for simple in chain[:-1]:
+        candidates = (
+            root._tagidx.get(simple.tag, []) if simple.tag is not None else root._flat
+        )
+        if not any(simple.matches(el) for el in candidates):
+            return False
+    return True
+
+
 def query_selector_all(root: Element, selector: str) -> list[Element]:
     compiled = compile_selector(selector)
     if compiled is None:
@@ -405,6 +419,8 @@ def query_selector_all(root: Element, selector: str) -> list[Element]:
             if simple.tag is not None and not simple.conds:
                 return list(candidates)
             return [el for el in candidates if simple.matches(el)]
+        if not _chain_feasible(root, chain):
+            return []
         return [
             el
             for el in _chain_candidates(root, chain)
@@ -412,6 +428,8 @@ def query_selector_all(root: Element, selector: str) -> list[Element]:
         ]
     seen: dict[int, Element] = {}
     for chain in compiled.chains:
+        if len(chain) > 1 and not _chain_feasible(root, chain):
+            continue
         for el in _chain_candidates(root, chain):
             if el.pos not in seen and compiled._chain_matches(chain, el):
                 seen[el.pos] = el
@@ -419,5 +437,27 @@ def query_selector_all(root: Element, selector: str) -> list[Element]:
 
 
 def query_selector(root: Element, selector: str) -> Element | None:
+    compiled = compile_selector(selector)
+    if compiled is None:
+        return None
+    root._ensure_index()
+    if len(compiled.chains) == 1:
+        chain = compiled.chains[0]
+        candidates = _chain_candidates(root, chain)
+        # First match in document order, without building the full list.
+        if len(chain) == 1:
+            simple = chain[0]
+            if simple.tag is not None and not simple.conds:
+                return candidates[0] if candidates else None
+            for el in candidates:
+                if simple.matches(el):
+                    return el
+            return None
+        if not _chain_feasible(root, chain):
+            return None
+        for el in candidates:
+            if compiled._chain_matches(chain, el):
+                return el
+        return None
     matched = query_selector_all(root, selector)
     return matched[0] if matched else None
