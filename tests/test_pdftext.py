@@ -108,3 +108,18 @@ def test_udf_pdf_fallback_on_garbage():
     assert row["quality_score"] == 20
     assert row["categories"] == ["pdf", "error"]
     assert row["description"] == "Failed to process PDF document"
+
+
+def test_structural_keywords_inside_text_do_not_break_parsing():
+    """Uncompressed content streams are skipped by /Length during the
+    object scan, so PDF structural keywords appearing in document text
+    cannot truncate or fake objects."""
+    tricky = [
+        "this text contains endstream and endobj keywords",
+        "and even 1 0 obj plus stream and xref and %%EOF markers",
+        "trailer << /Root 1 0 R >> startxref 12345",
+    ]
+    doc = parse_pdf(build_minimal_pdf(tricky))
+    assert [p.text for p in doc.pages] == tricky
+    doc2 = parse_pdf(build_minimal_pdf(tricky, compress=True))
+    assert [p.text for p in doc2.pages] == tricky

@@ -167,3 +167,28 @@ def test_equality_filter_pushdown_on_output_table(spark, pages_path, tmp_path):
         (line for line in formatted.splitlines() if "PushedFilters" in line), ""
     )
     assert "content_mode" in pushed_line or "IsNotNull" in pushed_line
+
+
+def test_dedup_cascade_plan_has_no_cartesian_or_nested_loop(spark):
+    """The LSH-verify cascade must stay equi-join shaped: a Cartesian or
+    broadcast-nested-loop join anywhere in the candidate generation or
+    verification would be the 100 TB scale-killer the cascade exists to
+    avoid."""
+    from pyspark.sql import functions as F
+
+    from riptide_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    corpus = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("some repeated words for doc "), F.col("id").cast("string")).alias("text"),
+    )
+    for df in (
+        minhash_candidate_pairs(corpus),
+        ngram_jaccard_pairs(corpus),
+    ):
+        plan = _formatted(df)
+        assert "CartesianProduct" not in plan, plan[:500]
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:500]
