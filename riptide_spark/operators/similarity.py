@@ -244,6 +244,64 @@ def ann_topk_ivf(
     return candidates.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Materialize the IVF layout: train the coarse quantizer, assign every
+    row to its inverted list, and write the table PARTITIONED BY ivf_list.
+    This is the FAISS IVF-Flat file layout expressed as Spark partitioning
+    — each query then touches n_probe/n_centroids of the data through
+    partition pruning (asserted on the physical plan by
+    ``test_operators.test_ivf_index_partition_pruning``).
+
+    Returns the trained centroid matrix (persist it next to the index; it
+    is the query-time routing table)."""
+    centroids = train_ivf_centroids(
+        embeddings, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    listed = with_ivf_list(embeddings, centroids, vec_col=vec_col)
+    listed.write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    return centroids
+
+
+def ann_topk_ivf_index(
+    spark,
+    path: str,
+    centroids,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a written IVF index: pick the query's ``n_probe`` nearest
+    centroids driver-side (tiny matrix), then scan ONLY those list
+    partitions (partition pruning on the ivf_list filter) and re-rank with
+    exact cosine."""
+    cmat = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probes = [int(i) for i in np.argsort(-(cmat @ qn))[:n_probe]]
+
+    listed = spark.read.parquet(path)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        listed.filter(F.col("ivf_list").isin(probes))
+        .select(
+            id_col,
+            F.round(
+                cosine(F.col(vec_col).cast("array<double>"), qlit), 6
+            ).cast("double").alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_id: int,

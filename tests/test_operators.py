@@ -339,3 +339,31 @@ def test_minhash_bucket_size_cap_drops_flood_buckets(spark):
               for r in minhash_candidate_pairs(corpus, bucket_size_cap=10).collect()}
     # Flood buckets (30 > cap) are dropped; the small pair survives.
     assert capped == {(100, 101)}
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The written IVF layout must be queryable through partition pruning:
+    the scan's partition filters carry the ivf_list probes, and the
+    results match the in-memory IVF path for the same parameters."""
+    from riptide_spark.operators.similarity import (
+        ann_topk_ivf,
+        ann_topk_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    centroids = write_ivf_index(emb, path, n_centroids=8)
+
+    qvec = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    indexed = ann_topk_ivf_index(spark, path, centroids, qvec, k=11, n_probe=2)
+
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_list" in plan.split("PartitionFilters", 1)[1][:200], plan[:800]
+
+    got = [(r["vec_id"], r["cosine_sim"]) for r in indexed.collect() if r["vec_id"] != 0]
+    mem = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ann_topk_ivf(emb, query_id=0, k=10, n_centroids=8, n_probe=2).collect()
+    ]
+    assert got[: len(mem)] == mem
