@@ -617,6 +617,50 @@ def _q_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB curation pass over the duplicated corpus:
+    exact dedup (md5 fingerprint, keep min id) → near-dup cluster
+    resolution (MinHash-LSH candidates → connected components, keep the
+    cluster canonical) → Gopher-rule quality filter. One verdict per doc
+    with precedence exact_dup > near_dup > low_quality > kept — the shape
+    a training-data pipeline actually partitions its corpus on. All three
+    stages reuse the already-oracled operators; the composition itself is
+    oracled by ``udf_oracle_corpus_curation``."""
+    _ensure_lossy_decode(spark)
+    from riptide_spark.operators.dedup import (
+        connected_components,
+        exact_fingerprint,
+        minhash_candidate_pairs,
+    )
+
+    corpus = _dup_corpus(spark, sf_dir)
+    fp = corpus.select(
+        "doc_id", "text", exact_fingerprint(F.col("text")).alias("fp")
+    )
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    flagged = fp.join(keep, "fp")
+    pairs = minhash_candidate_pairs(corpus, materialize=True)
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("comp")
+    )
+    out = flagged.join(comp, "doc_id", "left")
+    quality_keep = F.expr(OQ.quality_keep_expr(OQ.SPARK, "text"))
+    verdict = (
+        F.when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup"))
+        .when(
+            F.col("comp").isNotNull() & (F.col("comp") != F.col("doc_id")),
+            F.lit("near_dup"),
+        )
+        .when(~quality_keep, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return out.select(
+        "doc_id",
+        verdict.alias("verdict"),
+        quality_keep.cast("boolean").alias("quality_ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + the
     training-data operator set. Column names/aliases match oracle_sql()."""
@@ -633,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["table_extraction"] = _q_table_extraction
     out["pdf_extraction"] = _q_pdf_extraction
     out["multimodal_decode"] = _q_multimodal_decode
+    out["corpus_curation"] = _q_corpus_curation
     # Operator-backed override: same values as the SQL rendering, but the
     # shingle+MinHash scan is checkpointed instead of recomputed per side.
     out["ngram_jaccard_pairs"] = _q_ngram_jaccard

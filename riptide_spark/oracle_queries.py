@@ -571,6 +571,25 @@ def q_text_quality(d: Dialect) -> str:
   FROM documents"""
 
 
+def quality_keep_expr(d: Dialect, text: str = "text") -> str:
+    """The Gopher-rule conjunction as one boolean SQL expression — shared
+    by the standalone quality query and the composed curation pipeline
+    (the Spark side evaluates the same rendering via ``F.expr``)."""
+    words = f"CAST({d.arr_len}({d.split_ws(text)}) AS BIGINT)"
+    alpha = f"CAST(length({d.rre(text, '[^A-Za-z]')}) AS BIGINT)"
+    symbols = f"CAST(length({d.rre(text, '[^#<>|]')}) AS BIGINT)"
+    profiles = _lang_profiles()
+    stop_en = d.rx_all_count(f"lower({text})", f"\\b({profiles['en']})\\b")
+    mean_wl = f"{alpha} * 1.0 / GREATEST({words}, 1)"
+    sym_ratio = f"{symbols} * 1.0 / GREATEST(length({text}), 1)"
+    return (
+        f"(({words} BETWEEN 50 AND 100000)"
+        f" AND ({mean_wl} BETWEEN 3 AND 10)"
+        f" AND ({sym_ratio} < 0.1)"
+        f" AND ({stop_en} > 0))"
+    )
+
+
 def q_quality_filter(d: Dialect) -> str:
     """Gopher-style composite quality filter verdict per document: word
     count in [50, 100000], mean word length in [3, 10], symbol ratio
@@ -1431,8 +1450,36 @@ def udf_oracle_topic_chunk_spans() -> str:
   FROM documents"""
 
 
+def udf_oracle_corpus_curation() -> str:
+    """Expected output of ``_q_corpus_curation``: the same three stages
+    derived relationally — md5-fingerprint groups (keep min id), the
+    recursive-CTE transitive closure over MinHash candidate pairs
+    (embedded as a derived table, the same construction
+    ``q_dedup_components`` pins), and the shared Gopher keep expression —
+    with the exact_dup > near_dup > low_quality > kept precedence."""
+    keep = quality_keep_expr(DUCK, "f.text")
+    components = q_dedup_components(DUCK)
+    return _DUP_CORPUS + f""",
+  fp AS (
+    SELECT doc_id, text,
+           md5({DUCK.rre('trim(lower(text))', _WS, ' ')}) AS fp
+    FROM corpus
+  ),
+  keepers AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY fp)
+  SELECT f.doc_id,
+    CASE WHEN f.doc_id != k.keep_id THEN 'exact_dup'
+         WHEN c.component_id IS NOT NULL AND c.component_id != f.doc_id THEN 'near_dup'
+         WHEN NOT {keep} THEN 'low_quality'
+         ELSE 'kept' END AS verdict,
+    CAST({keep} AS BOOLEAN) AS quality_ok
+  FROM fp f
+  JOIN keepers k USING (fp)
+  LEFT JOIN ({components}) c ON c.doc_id = f.doc_id"""
+
+
 UDF_ORACLES = {
     "chunk_spans": udf_oracle_chunk_spans,
+    "corpus_curation": udf_oracle_corpus_curation,
     "strategy_composition": udf_oracle_strategy_composition,
     "topic_chunk_spans": udf_oracle_topic_chunk_spans,
     "multimodal_decode": udf_oracle_multimodal_decode,
