@@ -43,6 +43,7 @@ BENCH_QUERIES = (
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "dedup_connected_components",
+    "corpus_curation",
     "quality_filter_verdicts",
     "stratified_sample",
     "langid_stopwords",
