@@ -183,6 +183,12 @@ def validate_pdf_header(data: bytes) -> None:
         raise PdfInvalid("File does not start with PDF magic bytes")
 
 
+# `\b` pins the full integer (no backtracking into a prefix of the object
+# number), the lookahead rejects the `N G R` indirect-reference form.
+_DIRECT_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R\b)")
+_INDIRECT_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R\b")
+
+
 def _scan_objects(data: bytes) -> dict[int, bytes]:
     """Object bodies by number (last definition wins, as with appended
     updates). Sequential scan: stream payloads are skipped via /Length, so
@@ -198,15 +204,25 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
         search_from = start
         d = _dict_of(data[start : start + 8192])
         if d:
-            length = re.search(rb"/Length\s+(\d+)\b", d)
+            # A direct /Length only — `/Length 12 0 R` is an indirect
+            # reference whose integer is an object NUMBER, not a byte count;
+            # trusting it mis-skips the stream (ADVICE r2). Indirect lengths
+            # fall back to the endstream scan from the payload start.
+            length = re.search(_DIRECT_LENGTH_RE, d)
+            indirect = None if length else re.search(_INDIRECT_LENGTH_RE, d)
             stream_at = data.find(b"stream", start)
-            if length and stream_at != -1 and stream_at < start + 8192:
+            if (length or indirect) and stream_at != -1 and stream_at < start + 8192:
                 payload = stream_at + len(b"stream")
                 if data[payload : payload + 2] == b"\r\n":
                     payload += 2
                 elif data[payload : payload + 1] in (b"\n", b"\r"):
                     payload += 1
-                search_from = payload + int(length.group(1))
+                if length:
+                    search_from = payload + int(length.group(1))
+                else:
+                    es = data.find(b"endstream", payload)
+                    if es != -1:
+                        search_from = es
         end = data.find(b"endobj", search_from)
         if end == -1:
             break
@@ -236,7 +252,7 @@ def _dict_of(body: bytes) -> bytes:
     return body[start:]
 
 
-def _stream_of(body: bytes) -> bytes | None:
+def _stream_of(body: bytes, objects: dict[int, bytes] | None = None) -> bytes | None:
     idx = body.find(b"stream")
     if idx == -1:
         return None
@@ -246,11 +262,19 @@ def _stream_of(body: bytes) -> bytes | None:
     elif body[start : start + 1] in (b"\n", b"\r"):
         start += 1
     # /Length is authoritative — binary payloads may legitimately end in
-    # EOL bytes or contain 'endstream'. Only without a direct /Length do we
-    # fall back to the endstream scan with a single-EOL trim.
-    length = re.search(rb"/Length\s+(\d+)\b", _dict_of(body))
+    # EOL bytes or contain 'endstream'. An indirect `/Length N 0 R` is
+    # resolved through the object table when available; only without any
+    # usable length do we fall back to the endstream scan + single-EOL trim.
+    d = _dict_of(body)
+    length = _DIRECT_LENGTH_RE.search(d)
     if length:
         return body[start : start + int(length.group(1))]
+    indirect = _INDIRECT_LENGTH_RE.search(d)
+    if indirect and objects is not None:
+        target = objects.get(int(indirect.group(1)), b"")
+        value = re.match(rb"\s*(\d+)\s*$", target)
+        if value:
+            return body[start : start + int(value.group(1))]
     end = body.rfind(b"endstream")
     if end == -1:
         return None
@@ -262,8 +286,8 @@ def _stream_of(body: bytes) -> bytes | None:
     return raw
 
 
-def _content_bytes(body: bytes) -> bytes:
-    raw = _stream_of(body)
+def _content_bytes(body: bytes, objects: dict[int, bytes] | None = None) -> bytes:
+    raw = _stream_of(body, objects)
     if raw is None:
         return b""
     if b"/FlateDecode" in _dict_of(body):
@@ -465,10 +489,10 @@ def _page_content(objects: dict[int, bytes], page_dict: bytes) -> bytes:
     token = m.group(1)
     if token.startswith(b"["):
         return b"".join(
-            _content_bytes(objects.get(int(r.group(1)), b""))
+            _content_bytes(objects.get(int(r.group(1)), b""), objects)
             for r in _REF_RE.finditer(token)
         )
-    return _content_bytes(_resolve(objects, token))
+    return _content_bytes(_resolve(objects, token), objects)
 
 
 def parse_pdf(data: bytes) -> PdfDoc:

@@ -84,19 +84,27 @@ def _extract_single_table(table: dom.Element) -> TableData:
     # Body grid with span expansion. ``pending`` holds (row, col) → content
     # for slots covered by a rowspan from an earlier row — the reference's
     # ``spans_over`` position list (extractor.rs:347-358) materialized into
-    # the matrix.
+    # the matrix. Keys use the PHYSICAL row index (every <tr> advances it,
+    # emitted or not), matching the reference's row_index bookkeeping: a
+    # rowspan that spans across a skipped header row covers that physical
+    # row, whose slots are drained without being emitted (ADVICE r2).
     pending: dict[tuple[int, int], str] = {}
-    r = 0
+    rp = 0  # physical row index
     for tr in dom.query_selector_all(table, "tr"):
         if data.headers and dom.query_selector(tr, "th") is not None:
+            # Header rows are not emitted, but they still occupy a physical
+            # row: consume any rowspan coverage landing on them.
+            for key in [k for k in pending if k[0] == rp]:
+                pending.pop(key)
+            rp += 1
             continue
         row_out: list[str] = []
         col = 0
 
         def _fill_pending() -> None:
             nonlocal col
-            while (r, col) in pending:
-                row_out.append(pending.pop((r, col)))
+            while (rp, col) in pending:
+                row_out.append(pending.pop((rp, col)))
                 col += 1
 
         _fill_pending()
@@ -108,13 +116,13 @@ def _extract_single_table(table: dom.Element) -> TableData:
             row_out.extend([content] * colspan)
             for ri in range(1, rowspan):
                 for ci in range(colspan):
-                    pending[(r + ri, col + ci)] = content
+                    pending[(rp + ri, col + ci)] = content
             # column_index += colspan (extractor.rs:373)
             col += colspan
         _fill_pending()
         if row_out:
             data.rows.append(row_out)
-            r += 1
+        rp += 1
     return data
 
 

@@ -27,6 +27,16 @@ from pyspark.sql import functions as F
 DEFAULT_SHINGLE = 3
 DEFAULT_MINHASHES = 8
 DEFAULT_SIMHASH_BITS = 16
+# Boilerplate-flood guard, ON by default: an LSH bucket holding k docs
+# contributes k(k-1)/2 candidate pairs, and real web corpora put millions of
+# byte-identical boilerplate pages into ONE bucket. Buckets above the cap are
+# excluded from the pair join — their members are near-identical en masse and
+# are exact-dup territory, handled linearly by ``exact_duplicate_groups``
+# (one groupBy) instead of a quadratic pair expansion. 1000 caps any single
+# bucket at ≤499.5k pairs (bounded task memory) while being far above any
+# honest near-dup cluster size; pass ``bucket_size_cap=None`` to recover the
+# exhaustive semantics.
+DEFAULT_BUCKET_CAP = 1000
 
 # MinHash affine-rehash family: one md5-derived base hash per shingle, then
 # h_i(s) = (a_i·h(s) + b_i) mod (2^31−1). One md5 per shingle instead of
@@ -167,8 +177,8 @@ def _pairs_from_buckets(
     above the cap are dropped before the join — their members are
     byte-near-identical en masse and belong to the exact-dup pass
     (``exact_duplicate_groups``), which handles them in one linear
-    groupBy instead of a quadratic pair expansion. None (the default)
-    keeps the exhaustive semantics the oracles pin."""
+    groupBy instead of a quadratic pair expansion. ``None`` disables the
+    guard (exhaustive semantics)."""
     if bucket_size_cap is not None:
         sizes = buckets.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_bucket_n")
@@ -199,7 +209,7 @@ def minhash_candidate_pairs(
     num_hashes: int = DEFAULT_MINHASHES,
     band_size: int = 2,
     materialize: bool = False,
-    bucket_size_cap: int | None = None,
+    bucket_size_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH bucket.
 
@@ -207,8 +217,9 @@ def minhash_candidate_pairs(
     16-byte hash per band per doc — is ``localCheckpoint``-ed before the
     self-join, so the expensive shingle+MinHash scan runs ONCE instead of
     once per join side. Lazy by default for composability.
-    ``bucket_size_cap`` bounds the per-bucket pair blow-up at corpus
-    scale (see ``_pairs_from_buckets``)."""
+    ``bucket_size_cap`` (default ``DEFAULT_BUCKET_CAP``) bounds the
+    per-bucket pair blow-up at corpus scale (see
+    ``_pairs_from_buckets``); ``None`` disables the guard."""
     buckets = minhash_band_buckets(df, text_col, id_col, num_hashes, band_size)
     if materialize:
         buckets = buckets.localCheckpoint()
@@ -224,6 +235,8 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
     num_hashes: int = DEFAULT_MINHASHES,
     band_size: int = 2,
+    bucket_size_cap: int | None = DEFAULT_BUCKET_CAP,
+    exhaustive: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard verification over LSH candidate pairs.
 
@@ -246,9 +259,34 @@ def ngram_jaccard_pairs(
     hashes) and threshold 0.8 that is ≥ 0.983, and exact duplicates (J=1)
     are always candidates. Pairs the LSH misses are not verified — the
     accepted trade of the LSH-verify literature (Leskovec et al., MMDS
-    ch.3); pass an explicit all-pairs ``candidates`` frame to recover the
-    exhaustive semantics.
+    ch.3). ``exhaustive=True`` recovers the complete semantics (candidates
+    = every pair sharing at least one shingle, found by a shingle
+    equi-join) — correct but quadratic in the document frequency of the
+    hottest shingle, so reserve it for bounded corpora.
+
+    .. note:: Since round 2 this function verifies LSH candidates only by
+       default (previously it was the exhaustive shingle join); internal
+       candidate generation applies ``bucket_size_cap`` (default
+       ``DEFAULT_BUCKET_CAP``, ``None`` disables) — the boilerplate-flood
+       guard, see ``_pairs_from_buckets``.
     """
+    if exhaustive and candidates is None:
+        sh = df.select(
+            F.col(id_col), F.array_distinct(shingles(F.col(text_col), k)).alias("dsh")
+        )
+        ex = sh.select(F.col(id_col), F.explode("dsh").alias("s"))
+        candidates = (
+            ex.alias("l")
+            .join(
+                ex.alias("r"),
+                (F.col("l.s") == F.col("r.s"))
+                & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            )
+            .select(
+                F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+            )
+            .distinct()
+        )
     if candidates is None:
         # One scan computes distinct shingles AND the MinHash signature
         # (min over distinct shingles == min over all shingles), then the
@@ -266,7 +304,7 @@ def ngram_jaccard_pairs(
             id_col, "dsh", *minhash_from_hashes(F.col("hs"), num_hashes)
         ).localCheckpoint()
         buckets = _explode_bands(feat, id_col, num_hashes, band_size)
-        candidates = _pairs_from_buckets(buckets, id_col)
+        candidates = _pairs_from_buckets(buckets, id_col, bucket_size_cap)
         sh = feat.select(id_col, "dsh")
     else:
         sh = df.select(

@@ -459,10 +459,13 @@ def q_ngram_jaccard(
     JOIN shingled sa ON sa.doc_id = c.id_a
     JOIN shingled sb ON sb.doc_id = c.id_b
   )
-  SELECT id_a, id_b,
-         CAST(ROUND(shared * 1.0 / (n_a + n_b - shared), 6) AS DOUBLE) AS jaccard
-  FROM scored
-  WHERE shared * 1.0 / (n_a + n_b - shared) >= {threshold}"""
+  SELECT id_a, id_b, jaccard
+  FROM (
+    SELECT id_a, id_b,
+           CAST(ROUND(shared * 1.0 / (n_a + n_b - shared), 6) AS DOUBLE) AS jaccard
+    FROM scored
+  ) j
+  WHERE jaccard >= {threshold}"""
 
 
 def q_dedup_embedding(d: Dialect, threshold: float = 0.95) -> str:
@@ -947,8 +950,12 @@ def udf_oracle_pdf_extraction() -> str:
     terminated (processor.rs:692-696), so every column is a pure function
     of the generating row. reading_time = max(words/200, 1)
     (utils.rs:117-121); quality 85."""
+    # trim('')→'' splits to [''] (len 1) in DuckDB while Python's
+    # str.split() yields [] — guard the empty/whitespace-only class so the
+    # oracle does not silently rely on the corpus never containing one.
     words = (
-        "len(regexp_split_to_array(trim(text), '\\s+'))"
+        "(CASE WHEN trim(text) = '' THEN 0"
+        " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
         " + CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END"
     )
     return f"""

@@ -123,3 +123,32 @@ def test_structural_keywords_inside_text_do_not_break_parsing():
     assert [p.text for p in doc.pages] == tricky
     doc2 = parse_pdf(build_minimal_pdf(tricky, compress=True))
     assert [p.text for p in doc2.pages] == tricky
+
+
+def test_indirect_stream_length_resolved():
+    """`/Length 5 0 R` is an indirect reference — the integer is an object
+    NUMBER, not a byte count. Treating it as the count mis-skips the stream
+    (ADVICE r2); the parser must resolve it via the object table (or fall
+    back to the endstream scan) and still extract the real text."""
+    stream = b"BT /F1 12 Tf 72 720 Td (Indirect length page) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 5 0 R >>\nstream\n" + stream + b"\nendstream\nendobj\n"
+        b"5 0 obj\n" + str(len(stream)).encode() + b"\nendobj\n"
+        b"%%EOF\n"
+    )
+    doc = parse_pdf(pdf)
+    assert [p.text for p in doc.pages] == ["Indirect length page"]
+
+
+def test_direct_length_not_confused_by_indirect_form():
+    """The direct-/Length regex must not match the object number inside an
+    indirect reference, nor a digit prefix of it."""
+    from riptide_spark.functions.pdftext import _DIRECT_LENGTH_RE
+
+    assert _DIRECT_LENGTH_RE.search(b"<< /Length 12 0 R >>") is None
+    m = _DIRECT_LENGTH_RE.search(b"<< /Length 42 /Filter /FlateDecode >>")
+    assert m is not None and m.group(1) == b"42"

@@ -122,3 +122,32 @@ def test_tables_udf_spark(spark):
     assert list(first["headers"]) == ["Region", "Q1", "Q2"]
     assert [list(r) for r in first["rows"]] == [["North", "10", "20"], ["South", "30", "40"]]
     assert first["metadata"]["id"] == "t1"
+
+
+def test_rowspan_spans_over_skipped_header_row():
+    """A rowspan crossing a th-bearing (skipped) row must track PHYSICAL
+    table rows (extractor.rs:349-358): the header row consumes the covered
+    slot, and the span must NOT spill into a later data row (ADVICE r2)."""
+    html = (
+        "<table><tr><th>A</th><th>B</th></tr>"
+        "<tr><td rowspan='2'>tall</td><td>x</td></tr>"
+        "<tr><th>mid-header</th><th>h2</th></tr>"
+        "<tr><td>a</td><td>b</td></tr></table>"
+    )
+    t = extract_tables(html, "all")[0]
+    assert t.headers == ["A", "B"]
+    # Physical row 2 is the skipped header row — it absorbs the rowspan
+    # coverage; row 3 is a plain data row, NOT ['tall', 'a', 'b'].
+    assert t.rows == [["tall", "x"], ["a", "b"]]
+
+
+def test_rowspan_over_empty_physical_row():
+    """An empty <tr> still advances the physical row counter; the covered
+    slot is emitted as that physical row's only cell."""
+    html = (
+        "<table><tr><td rowspan='2'>tall</td><td>x</td></tr>"
+        "<tr></tr>"
+        "<tr><td>a</td><td>b</td></tr></table>"
+    )
+    t = extract_tables(html, "all")[0]
+    assert t.rows == [["tall", "x"], ["tall"], ["a", "b"]]
