@@ -138,6 +138,19 @@ def extraction_plan(pages: DataFrame, config: ExtractionJobConfig) -> DataFrame:
     return flat
 
 
+def resume_anti_join(pages: DataFrame, done: DataFrame) -> DataFrame:
+    """Drop already-done urls from the input (S2/J1 result-cache semantics).
+
+    Deliberately NO broadcast hint on the done side: after a few runs the
+    output table is as big as the input, and forcing it into a broadcast
+    would OOM the driver at 100 TB. Left to Catalyst + AQE the join is a
+    BroadcastHashJoin while the done side fits under
+    ``spark.sql.autoBroadcastJoinThreshold`` and a shuffled SMJ once it
+    doesn't (gated by ``test_resume_anti_join_big_done_side_not_broadcast``).
+    """
+    return pages.join(done, "url", "left_anti")
+
+
 @dataclass
 class RunResult:
     run_id: str
@@ -163,14 +176,24 @@ def run_extraction_job(
     run_id = run_id or uuid.uuid4().hex[:12]
     output = TableIO(spark, config.output_path)
 
-    # Resume bookkeeping costs ONE extra pass over the input (the `before`
-    # count); rows_skipped_resume is derived afterwards from the written-row
-    # count instead of a second pre-write count of the anti-joined input.
-    before = None
+    # Resume bookkeeping is FREE on the normal path: rows_skipped_resume
+    # comes from the manifest ledger (sum of committed run row counts), not
+    # a pre-count of the input — at 100 TB an extra full input pass for a
+    # log stat is real money. Exact under the resume contract (every done
+    # url re-appears in the input, which anti-join resume presumes). If the
+    # ledger is incomplete — a crash between data write and manifest
+    # commit/amend left rows unaccounted — fall back to counting the done
+    # side instead: a url-only column-pruned scan of the OUTPUT table,
+    # still never a pass over the input.
+    skipped = 0
     if config.resume and output.exists():
         done = output.read().select("url")
-        before = pages.count()
-        pages = pages.join(done, "url", "left_anti")
+        manifests = [m for m in output.manifests() if m.committed]
+        if manifests and all(m.rows >= 0 for m in manifests):
+            skipped = sum(m.rows for m in manifests)
+        else:
+            skipped = done.count()
+        pages = resume_anti_join(pages, done)
 
     result = extraction_plan(pages, config).withColumn("run_id", F.lit(run_id))
 
@@ -183,11 +206,13 @@ def run_extraction_job(
 
     written = output.read().filter(F.col("run_id") == run_id)
     rows = written.count()
+    # Record the true count in the manifest ledger — the next resumed run
+    # derives its skipped-row stat from these instead of re-counting input.
+    output.amend_manifest(run_id, rows=rows)
     if config.metrics_path:
         metrics = partition_metrics(written, run_id)
         TableIO(spark, config.metrics_path).append(metrics, run_id=run_id)
 
     # Every surviving input row lands in the output (errors become error
-    # rows, never drops), so skipped = input size − rows written.
-    skipped = (before - rows) if before is not None else 0
+    # rows, never drops), so the manifest-derived count needs no adjustment.
     return RunResult(run_id=run_id, rows_written=rows, rows_skipped_resume=skipped)

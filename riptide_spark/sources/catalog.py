@@ -108,3 +108,16 @@ class TableIO:
             fh.write(manifest.to_json())
         os.replace(tmp, final)  # atomic commit marker
         return manifest
+
+    def amend_manifest(self, run_id: str, rows: int) -> Manifest:
+        """Atomically enrich a committed manifest with the true row count
+        (the count is only known after the post-write read-back; a crash
+        between commit and amendment leaves ``rows=-1``, which consumers
+        must treat as unknown, not negative)."""
+        manifest = Manifest(run_id=run_id, rows=rows, committed=True)
+        tmp = os.path.join(self.manifest_dir, f".run-{run_id}.json.tmp")
+        final = os.path.join(self.manifest_dir, f"run-{run_id}.json")
+        with open(tmp, "w") as fh:
+            fh.write(manifest.to_json())
+        os.replace(tmp, final)
+        return manifest

@@ -192,3 +192,57 @@ def test_dedup_cascade_plan_has_no_cartesian_or_nested_loop(spark):
         plan = _formatted(df)
         assert "CartesianProduct" not in plan, plan[:500]
         assert "BroadcastNestedLoopJoin" not in plan, plan[:500]
+
+
+def test_resume_anti_join_big_done_side_not_broadcast(spark, pages_path, tmp_path):
+    """Once the done-url table exceeds the broadcast threshold, the resume
+    anti-join must plan as a shuffled join (AQE SMJ), not a broadcast of
+    the big side — broadcasting a 100 TB output table's url set would OOM
+    the driver. Emulated by dropping the threshold under the done side's
+    size estimate."""
+    from riptide_spark.plans.pipeline import resume_anti_join
+
+    cfg = ExtractionJobConfig(output_path=str(tmp_path / "out_bc"), resume=True)
+    pages = spark.read.parquet(pages_path)
+    run_extraction_job(spark, pages, cfg)
+    done = TableIO(spark, cfg.output_path).read().select("url")
+
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1b")
+        plan = _plan(resume_anti_join(pages, done))
+        assert "BroadcastHashJoin" not in plan, plan[:800]
+        assert re.search(r"(SortMergeJoin|ShuffledHashJoin) .*LeftAnti", plan), plan[:800]
+        # And under the default threshold the small done side SHOULD broadcast.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        plan_small = _plan(resume_anti_join(pages, done))
+        assert re.search(r"BroadcastHashJoin .*LeftAnti", plan_small), plan_small[:800]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_resume_skip_stat_needs_no_input_scan(spark, pages_path, tmp_path, monkeypatch):
+    """rows_skipped_resume must come from the manifest ledger, not a full
+    input count — one extra pass over 100 TB for a log stat is real money.
+    Gate: exactly one DataFrame.count() during a resumed run (the
+    written-rows read-back), and the stat is still exact."""
+    cfg = ExtractionJobConfig(output_path=str(tmp_path / "out_noscan"), resume=True)
+    pages = spark.read.parquet(pages_path).limit(40)
+    first = run_extraction_job(spark, pages, cfg)
+    assert first.rows_written == 40
+
+    calls: list[int] = []
+    # Patch the concrete DataFrame class (pyspark.sql.DataFrame is the
+    # abstract facade in Spark 4; instances are classic.dataframe.DataFrame).
+    concrete = type(pages)
+    orig = concrete.count
+
+    def counting(self):
+        calls.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(concrete, "count", counting)
+    rerun = run_extraction_job(spark, pages, cfg)
+    assert rerun.rows_written == 0
+    assert rerun.rows_skipped_resume == 40
+    assert len(calls) == 1, f"expected only the read-back count, saw {len(calls)}"
