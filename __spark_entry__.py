@@ -126,6 +126,37 @@ def _q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_pipeline_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled invariant companion for ``extract_pipeline`` (VERDICT r2
+    next-round #3): per-mode counts ≡ the gate route derivation, zero
+    error rows, all titles extracted, and every word_count inside the
+    per-document envelope (see ``udf_oracle_extract_pipeline_invariants``
+    for the derivation)."""
+    _ensure_lossy_decode(spark)
+    from riptide_spark.plans.pipeline import ExtractionJobConfig, extraction_plan
+
+    pages = _pages_from_documents(spark, sf_dir)
+    out = extraction_plan(pages, ExtractionJobConfig(output_path="", resume=False))
+    docs = spark.table("documents")
+    doc_words = F.size(F.split(F.trim("text"), r"\s+")).cast("bigint")
+    joined = out.withColumn(
+        "doc_id", F.regexp_extract("url", r"/doc/(\d+)", 1).cast("long")
+    ).join(docs.select("doc_id", doc_words.alias("doc_words")), "doc_id")
+    env_ok = (F.col("word_count") >= F.col("doc_words")) & (
+        F.col("word_count") <= F.col("doc_words") + (F.col("doc_id") % 4) + 1
+    )
+    return joined.groupBy("content_mode").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+        F.sum(F.when(F.col("title").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_title_nonnull"),
+        F.sum(F.when(env_ok, 1).otherwise(0)).cast("bigint").alias("n_wc_in_envelope"),
+    )
+
+
 def _q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunker spans over documents.text (non-SQL op)."""
     _ensure_lossy_decode(spark)
@@ -669,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # Non-SQL-expressible operators: rows-only checks.
     out["extract_pipeline"] = _q_extract_pipeline
+    out["extract_pipeline_invariants"] = _q_extract_pipeline_invariants
     out["chunk_spans"] = _q_chunk_spans
     out["fixed_chunk_spans"] = _q_fixed_chunk_spans
     out["topic_chunk_spans"] = _q_topic_chunk_spans

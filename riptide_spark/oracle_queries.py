@@ -1484,8 +1484,37 @@ def udf_oracle_corpus_curation() -> str:
   LEFT JOIN ({components}) c ON c.doc_id = f.doc_id"""
 
 
+def udf_oracle_extract_pipeline_invariants() -> str:
+    """Oracled invariant companion for the flagship ``extract_pipeline``
+    (whose per-field output is pinned byte-identical by the WASM goldens,
+    ``tests/test_golden.py``, but whose 500-row corpus run was the one
+    remaining rows-only driver check). Four aggregate invariants, each a
+    pure function of the generating ``documents`` table:
+
+    * per-``content_mode`` row counts ≡ the gate route derivation (the
+      same expression ``gate_route_counts`` already pins);
+    * zero error rows (the synthesized corpus is entirely valid);
+    * every row extracts a title (n_title_nonnull == n_docs);
+    * every row's ``word_count`` lies in the envelope
+      ``[doc_words, doc_words + doc_id%4 + 1]`` where ``doc_words`` is the
+      ``word_count_reading_time`` derivation over ``documents.text`` —
+      the ``doc_id%4`` script tags glue exactly that many extra
+      whitespace words ("var x=1;…" runs into the first text word) and
+      the article pages' h1 prefix adds at most one more ("Doc" splits
+      off, the number glues). Extraction may never LOSE a word."""
+    route = q_route_counts(DUCK)
+    return f"""
+  SELECT content_mode,
+         CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(0 AS BIGINT) AS n_errors,
+         CAST(n_docs AS BIGINT) AS n_title_nonnull,
+         CAST(n_docs AS BIGINT) AS n_wc_in_envelope
+  FROM ({route}) r"""
+
+
 UDF_ORACLES = {
     "chunk_spans": udf_oracle_chunk_spans,
+    "extract_pipeline_invariants": udf_oracle_extract_pipeline_invariants,
     "corpus_curation": udf_oracle_corpus_curation,
     "strategy_composition": udf_oracle_strategy_composition,
     "topic_chunk_spans": udf_oracle_topic_chunk_spans,
