@@ -477,12 +477,111 @@ def _q_native_dom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate nearest neighbours (scale path of ANN)."""
+    """LSH-bucketed approximate nearest neighbours (scale path of ANN),
+    multi-probe: all buckets within Hamming distance 2 of the query
+    signature are scanned (22 of 64 at 6 planes)."""
     _ensure_lossy_decode(spark)
     from riptide_spark.operators.similarity import ann_topk_lsh
 
     _register_views(spark, sf_dir)
-    return ann_topk_lsh(spark.table("embeddings"), query_id=0, k=10, planes=6)
+    return ann_topk_lsh(
+        spark.table("embeddings"), query_id=0, k=10, planes=6, hamming=2
+    )
+
+
+def _q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality pin for the LSH ANN: recall@k of the multi-probe
+    LSH path against the oracled brute force — the LSH analog of
+    ``similarity_ann_ivf``, but with a FULL SQL oracle (no pinned
+    constants; see ``udf_oracle_similarity_ann_lsh_recall``)."""
+    _ensure_lossy_decode(spark)
+    from riptide_spark.operators.similarity import ann_topk_lsh, cosine_topk
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    k, planes, hamming = 10, 6, 2
+    lsh = ann_topk_lsh(emb, query_id=0, k=k, planes=planes, hamming=hamming).select(
+        "vec_id"
+    )
+    brute = cosine_topk(emb, query_id=0, k=k).select("vec_id")
+    return (
+        lsh.join(brute, "vec_id")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            F.lit(planes).cast("int").alias("planes"),
+            F.lit(hamming).cast("int").alias("hamming"),
+            F.col("o").cast("int").alias("overlap"),
+            F.round(F.col("o") / F.lit(float(k)), 6).cast("double").alias("recall_at_k"),
+        )
+    )
+
+
+def _batch_queries(emb: DataFrame, stride: int = 100) -> DataFrame:
+    return emb.filter(F.col("vec_id") % stride == 0)
+
+
+def _batch_recall(approx: DataFrame, brute: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Per-query overlap of two (query_id, vec_id) top-k sets, keeping
+    zero-overlap queries via the query frame as the left side."""
+    o = (
+        approx.select("query_id", "vec_id")
+        .join(brute.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(o, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("o"), F.lit(0)).cast("int").alias("overlap"),
+            F.round(F.coalesce(F.col("o"), F.lit(0)) / F.lit(float(k)), 6)
+            .cast("double")
+            .alias("recall_at_k"),
+        )
+    )
+
+
+def _q_ann_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-query ANN (VERDICT r2 next-round #5): the multi-probe LSH
+    batch path routes EVERY query to its probe buckets in one equi-join
+    (no per-query driver round-trips); per-query recall vs the batch
+    brute force, fully SQL-oracled."""
+    _ensure_lossy_decode(spark)
+    from riptide_spark.operators.similarity import (
+        ann_topk_lsh_batch,
+        cosine_topk_batch,
+    )
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = _batch_queries(emb)
+    k = 10
+    approx = ann_topk_lsh_batch(emb, queries, k=k, planes=6, hamming=2)
+    brute = cosine_topk_batch(emb, queries, k=k)
+    return _batch_recall(approx, brute, queries, k)
+
+
+def _q_ann_ivf_batch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-query IVF ANN: one Arrow-batched probe-list assignment for
+    the whole query set, equi-join on ivf_list, per-query exact re-rank.
+    Recall vs the batch brute force; deterministic end-to-end, so the
+    per-query recalls are pinned per corpus
+    (``udf_oracle_similarity_ann_ivf_batch_recall``)."""
+    _ensure_lossy_decode(spark)
+    from riptide_spark.operators.similarity import (
+        ann_topk_ivf_batch,
+        cosine_topk_batch,
+    )
+
+    _register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = _batch_queries(emb)
+    k = 10
+    approx = ann_topk_ivf_batch(emb, queries, k=k, n_centroids=8, n_probe=2)
+    brute = cosine_topk_batch(emb, queries, k=k)
+    return _batch_recall(approx, brute, queries, k)
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,6 +804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["fixed_chunk_spans"] = _q_fixed_chunk_spans
     out["topic_chunk_spans"] = _q_topic_chunk_spans
     out["similarity_ann_lsh"] = _q_ann_lsh
+    out["similarity_ann_lsh_recall"] = _q_ann_lsh_recall
+    out["similarity_ann_batch_recall"] = _q_ann_batch_recall
+    out["similarity_ann_ivf_batch_recall"] = _q_ann_ivf_batch_recall
     out["similarity_ann_ivf"] = _q_ann_ivf
     out["table_extraction"] = _q_table_extraction
     out["pdf_extraction"] = _q_pdf_extraction

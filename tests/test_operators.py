@@ -402,3 +402,57 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
         for r in ann_topk_ivf(emb, query_id=0, k=10, n_centroids=8, n_probe=2).collect()
     ]
     assert got[: len(mem)] == mem
+
+
+def test_batch_ann_matches_single_query_paths(spark):
+    """The batch ANN variants must reproduce the single-query operators
+    for each query id (same candidates, same ranks) — one equi-join over
+    the whole query set instead of a per-query driver loop."""
+    from riptide_spark.operators.similarity import (
+        ann_topk_ivf,
+        ann_topk_ivf_batch,
+        ann_topk_lsh,
+        ann_topk_lsh_batch,
+        cosine_topk,
+        cosine_topk_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id").isin([0, 100]))
+
+    lsh_b = ann_topk_lsh_batch(emb, queries, k=5, planes=6, hamming=2).collect()
+    for qid in (0, 100):
+        single = [r["vec_id"] for r in
+                  ann_topk_lsh(emb, query_id=qid, k=5, planes=6, hamming=2).collect()]
+        batch = [r["vec_id"] for r in sorted(
+            (r for r in lsh_b if r["query_id"] == qid), key=lambda r: r["rank"])]
+        assert batch == single, (qid, batch, single)
+
+    ivf_b = ann_topk_ivf_batch(emb, queries, k=5, n_centroids=8, n_probe=2).collect()
+    for qid in (0, 100):
+        single = [r["vec_id"] for r in
+                  ann_topk_ivf(emb, query_id=qid, k=5, n_centroids=8, n_probe=2).collect()]
+        batch = [r["vec_id"] for r in sorted(
+            (r for r in ivf_b if r["query_id"] == qid), key=lambda r: r["rank"])]
+        assert batch == single, (qid, batch, single)
+
+    brute_b = cosine_topk_batch(emb, queries, k=5).collect()
+    for qid in (0, 100):
+        single = [r["vec_id"] for r in cosine_topk(emb, query_id=qid, k=5).collect()]
+        batch = [r["vec_id"] for r in sorted(
+            (r for r in brute_b if r["query_id"] == qid), key=lambda r: r["rank"])]
+        assert batch == single, (qid, batch, single)
+
+
+def test_multiprobe_lsh_hamming_zero_is_single_bucket(spark):
+    """hamming=0 recovers the round-2 single-bucket semantics."""
+    from riptide_spark.operators.similarity import _probe_masks, ann_topk_lsh
+
+    assert _probe_masks(6, 0) == [0]
+    assert len(_probe_masks(6, 2)) == 1 + 6 + 15
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    single = ann_topk_lsh(emb, query_id=0, k=10, planes=6, hamming=0).collect()
+    multi = ann_topk_lsh(emb, query_id=0, k=10, planes=6, hamming=2).collect()
+    # Multi-probe candidates are a superset: top-1 cosine can only improve.
+    if single and multi:
+        assert multi[0]["cosine_sim"] >= single[0]["cosine_sim"]

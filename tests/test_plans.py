@@ -246,3 +246,25 @@ def test_resume_skip_stat_needs_no_input_scan(spark, pages_path, tmp_path, monke
     assert rerun.rows_written == 0
     assert rerun.rows_skipped_resume == 40
     assert len(calls) == 1, f"expected only the read-back count, saw {len(calls)}"
+
+
+def test_batch_ann_plans_stay_equi_join(spark):
+    """The batch ANN probe routing must remain an equi-join (broadcast
+    probe rows, bucket/list equality) — a Cartesian or nested-loop join
+    over |corpus|×|queries| is the scale-killer the probe explosion
+    exists to avoid. (The brute-force baseline cosine_topk_batch is the
+    intentional exception.)"""
+    from riptide_spark.operators.similarity import (
+        ann_topk_ivf_batch,
+        ann_topk_lsh_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    for df in (
+        ann_topk_lsh_batch(emb, queries, k=5, planes=6, hamming=2),
+        ann_topk_ivf_batch(emb, queries, k=5, n_centroids=8, n_probe=2),
+    ):
+        plan = _formatted(df)
+        assert "CartesianProduct" not in plan, plan[:500]
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:500]
