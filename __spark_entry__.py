@@ -754,41 +754,14 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster canonical) → Gopher-rule quality filter. One verdict per doc
     with precedence exact_dup > near_dup > low_quality > kept — the shape
     a training-data pipeline actually partitions its corpus on. All three
-    stages reuse the already-oracled operators; the composition itself is
-    oracled by ``udf_oracle_corpus_curation``."""
+    stages reuse the already-oracled operators via
+    ``plans/curation.curation_verdicts`` (also the sf1 scale-dial path,
+    ``bench.py --scale-dial``); the composition itself is oracled by
+    ``udf_oracle_corpus_curation``."""
     _ensure_lossy_decode(spark)
-    from riptide_spark.operators.dedup import (
-        connected_components,
-        exact_fingerprint,
-        minhash_candidate_pairs,
-    )
+    from riptide_spark.plans.curation import curation_verdicts
 
-    corpus = _dup_corpus(spark, sf_dir)
-    fp = corpus.select(
-        "doc_id", "text", exact_fingerprint(F.col("text")).alias("fp")
-    )
-    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    flagged = fp.join(keep, "fp")
-    pairs = minhash_candidate_pairs(corpus, materialize=True)
-    comp = connected_components(pairs).select(
-        F.col("node").alias("doc_id"), F.col("component").alias("comp")
-    )
-    out = flagged.join(comp, "doc_id", "left")
-    quality_keep = F.expr(OQ.quality_keep_expr(OQ.SPARK, "text"))
-    verdict = (
-        F.when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup"))
-        .when(
-            F.col("comp").isNotNull() & (F.col("comp") != F.col("doc_id")),
-            F.lit("near_dup"),
-        )
-        .when(~quality_keep, F.lit("low_quality"))
-        .otherwise(F.lit("kept"))
-    )
-    return out.select(
-        "doc_id",
-        verdict.alias("verdict"),
-        quality_keep.cast("boolean").alias("quality_ok"),
-    )
+    return curation_verdicts(_dup_corpus(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -12,6 +12,12 @@ Modes:
                                    # throughput at both + scaling efficiency
                                    # (the sandbox protocol for the N vs 4N
                                    # executor rule, BASELINE.md)
+    python bench.py --scale-dial   # the dedup/curation cascade + extraction
+                                   # at sf0.1 (100k docs) AND sf1 (1M docs):
+                                   # wall growth per query + plan gates
+                                   # re-asserted at sf1 (VERDICT r2 #1).
+                                   # Results recorded in BENCH_scale_r03.json
+                                   # and attached to the default run's JSON.
 
 Everything diagnostic goes to stderr; stdout carries exactly one JSON line:
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
@@ -145,7 +151,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
 
     total = round(sum(timings.values()), 3)
     spark.stop()
-    return {
+    payload = {
         "metric": "extraction+operator suite wall time",
         "value": total,
         "unit": "sec",
@@ -155,6 +161,153 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         "docs": result.rows_written,
         "extract_sec": round(extract_sec, 3),
         "docs_per_sec": round(docs_per_sec, 1),
+    }
+    # Attach the recorded sf0.1→sf1 scale-dial evidence (a separate long
+    # run, `python bench.py --scale-dial`, committed to the repo) so the
+    # per-round BENCH json carries both scales.
+    if os.path.exists(SCALE_DIAL_RECORD):
+        try:
+            with open(SCALE_DIAL_RECORD) as fh:
+                payload["scale_dial"] = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            pass
+    return payload
+
+
+SCALE_DIAL_RECORD = os.path.join(REPO, "BENCH_scale_r03.json")
+
+
+def dedup_corpus_from_pages(pages):
+    """Deterministic (doc_id, text) dedup corpus from the synthetic pages:
+    ids are url hashes, every ~20th doc injected again under a derived id
+    (the same duplication scheme the oracles use on `documents`)."""
+    from pyspark.sql import functions as F
+
+    docs = pages.select(F.xxhash64("url").alias("doc_id"), "text")
+    dups = pages.filter(F.pmod(F.xxhash64("url"), 20) == 0).select(
+        F.xxhash64(F.concat(F.col("url"), F.lit("#dup"))).alias("doc_id"), "text"
+    )
+    return docs.unionAll(dups)
+
+
+def _assert_plan_gates(dfs) -> str:
+    """No Cartesian / broadcast-nested-loop anywhere in the cascade plans —
+    re-asserted at the actual benchmark scale, not just in unit tests."""
+    for df in dfs:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if bad in plan:
+                raise AssertionError(f"plan gate failed: {bad} in\n{plan[:2000]}")
+    return "pass"
+
+
+def run_scale_dial(cpus: int, sfs=(0.1, 1.0)) -> dict:
+    """The 100 TB evidence run: the dedup/curation cascade and the full
+    extraction job at sf0.1 (100k docs) and sf1 (1M docs) in one process,
+    interleaved nothing — per-query wall growth should track the 10× input
+    growth (log factors allowed), and the plan gates must hold at sf1."""
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from pyspark.sql import functions as F
+
+    from riptide_spark.session import build_session
+
+    per_sf: dict[str, dict] = {}
+    for sf in sfs:
+        spark = build_session(
+            f"riptide-scale-sf{sf}", master=f"local[{cpus}]", shuffle_partitions=cpus
+        )
+        n_pages = max(int(PAGES_PER_SF * sf), 1000)
+        pages_path = ensure_corpus(spark, n_pages)
+        pages = spark.read.parquet(pages_path)
+
+        from riptide_spark.operators.dedup import (
+            connected_components,
+            minhash_candidate_pairs,
+            ngram_jaccard_pairs,
+        )
+        from riptide_spark.plans.curation import curation_verdicts
+        from riptide_spark.plans.pipeline import (
+            ExtractionJobConfig,
+            run_extraction_job,
+        )
+
+        timings: dict[str, float] = {}
+
+        warm_dir = tempfile.mkdtemp(prefix="riptide_scale_warm_")
+        run_extraction_job(
+            spark,
+            pages.limit(256),
+            ExtractionJobConfig(output_path=os.path.join(warm_dir, "out"), resume=False),
+        )
+        out_dir = tempfile.mkdtemp(prefix="riptide_scale_out_")
+        t0 = time.perf_counter()
+        result = run_extraction_job(
+            spark,
+            pages,
+            ExtractionJobConfig(
+                output_path=os.path.join(out_dir, "out"),
+                target_partitions=cpus * 2,
+                resume=False,
+            ),
+        )
+        timings["extract_pipeline"] = round(time.perf_counter() - t0, 3)
+        log(
+            f"[scale sf{sf}] extract: {result.rows_written} docs in "
+            f"{timings['extract_pipeline']}s"
+        )
+
+        corpus = dedup_corpus_from_pages(pages)
+        gates = _assert_plan_gates(
+            [
+                minhash_candidate_pairs(corpus),
+                ngram_jaccard_pairs(corpus),
+                curation_verdicts(corpus),
+            ]
+        )
+
+        t0 = time.perf_counter()
+        n_pairs = ngram_jaccard_pairs(corpus).count()
+        timings["ngram_jaccard_pairs"] = round(time.perf_counter() - t0, 3)
+        log(f"[scale sf{sf}] ngram_jaccard_pairs: {n_pairs} pairs in {timings['ngram_jaccard_pairs']}s")
+
+        t0 = time.perf_counter()
+        n_nodes = connected_components(
+            minhash_candidate_pairs(corpus, materialize=True)
+        ).count()
+        timings["dedup_connected_components"] = round(time.perf_counter() - t0, 3)
+        log(f"[scale sf{sf}] connected_components: {n_nodes} nodes in {timings['dedup_connected_components']}s")
+
+        t0 = time.perf_counter()
+        counts = {
+            r["verdict"]: r["count"]
+            for r in curation_verdicts(corpus).groupBy("verdict").count().collect()
+        }
+        timings["corpus_curation"] = round(time.perf_counter() - t0, 3)
+        log(f"[scale sf{sf}] corpus_curation: {counts} in {timings['corpus_curation']}s")
+
+        per_sf[str(sf)] = {
+            "docs": result.rows_written,
+            "dedup_corpus_rows": corpus.count(),
+            "plan_gates": gates,
+            "queries": timings,
+            "curation_verdicts": counts,
+        }
+        spark.stop()
+
+    lo, hi = (str(s) for s in sfs)
+    growth = {
+        q: round(per_sf[hi]["queries"][q] / max(per_sf[lo]["queries"][q], 1e-9), 2)
+        for q in per_sf[lo]["queries"]
+    }
+    return {
+        "metric": f"scale dial sf{lo}→sf{hi} wall growth (input ×{per_sf[hi]['docs'] / per_sf[lo]['docs']:.0f})",
+        "value": round(max(growth.values()), 3),
+        "unit": "ratio",
+        "cpus": cpus,
+        "per_sf": per_sf,
+        "growth": growth,
     }
 
 
@@ -217,9 +370,15 @@ def main() -> None:
     parser.add_argument("--scaling", action="store_true")
     parser.add_argument("--scale-low", type=int, default=1)
     parser.add_argument("--scale-high", type=int, default=4)
+    parser.add_argument("--scale-dial", action="store_true")
     args = parser.parse_args()
 
-    if args.scaling:
+    if args.scale_dial:
+        payload = run_scale_dial(args.cpus)
+        with open(SCALE_DIAL_RECORD, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        log(f"[bench] scale-dial recorded to {SCALE_DIAL_RECORD}")
+    elif args.scaling:
         payload = run_scaling(args.sf_dir, args.scale_low, args.scale_high)
     else:
         payload = run_bench(args.cpus, args.sf_dir)

@@ -77,9 +77,18 @@ def exact_duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = 
     )
 
 
-def shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
-    """k-word shingles of the lowercased text (distinct not applied)."""
-    words = _words(F.lower(text))
+def shingles_from_words(words: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """k-word shingles from a **bound words-array column**.
+
+    Pass an attribute produced by a prior projection (``df.select(...
+    _words(...).alias("w"))``), NOT an inline split expression: Catalyst
+    does not hoist loop-invariant subexpressions out of higher-order-
+    function lambdas, so an inlined split is re-evaluated once per
+    sequence element — O(words²) per document. On ~1k-word web pages that
+    was measured at ~20× wall (72s → 3s per 10k docs) before this split
+    was forced into its own projection. A bound column is safe:
+    CollapseProject refuses to inline a non-cheap expression referenced
+    more than once, and ``words`` is referenced four times here."""
     n = F.size(words)
     return F.when(
         n >= k,
@@ -88,6 +97,16 @@ def shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
             lambda i: F.array_join(F.slice(words, i, k), " "),
         ),
     ).otherwise(F.array(F.array_join(words, " ")))
+
+
+def shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """k-word shingles of the lowercased text (distinct not applied).
+
+    Single-expression form for composability with the SQL-template
+    oracles; the operator hot paths use :func:`shingles_from_words` over a
+    pre-projected words column instead (see its docstring for the
+    per-element re-evaluation hazard)."""
+    return shingles_from_words(_words(F.lower(text)), k)
 
 
 def _hash60(col: Column) -> Column:
@@ -121,12 +140,16 @@ def minhash_from_shingles(sh: Column, num_hashes: int = DEFAULT_MINHASHES) -> li
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        num_hashes: int = DEFAULT_MINHASHES) -> DataFrame:
-    """Per-doc MinHash signature. Two projections so the md5 base-hash array
-    is one expression referenced num_hashes times — Catalyst's
-    CollapseProject keeps non-cheap multiply-referenced expressions
-    un-inlined, so the md5 scan runs once, not once per hash."""
-    hashed = df.select(
-        F.col(id_col), base_shingle_hashes(shingles(F.col(text_col))).alias("hs")
+    """Per-doc MinHash signature. Staged projections so (a) the words
+    split is a bound column when the shingle lambda iterates over it (see
+    :func:`shingles_from_words`) and (b) the md5 base-hash array is one
+    expression referenced num_hashes times — Catalyst's CollapseProject
+    keeps non-cheap multiply-referenced expressions un-inlined, so the
+    split and the md5 scan each run once."""
+    worded = df.select(F.col(id_col), _words(F.lower(F.col(text_col))).alias("w"))
+    hashed = worded.select(
+        F.col(id_col),
+        base_shingle_hashes(shingles_from_words(F.col("w"))).alias("hs"),
     )
     return hashed.select(id_col, *minhash_from_hashes(F.col("hs"), num_hashes))
 
@@ -151,6 +174,18 @@ def _explode_bands(sig: DataFrame, id_col: str, num_hashes: int, band_size: int)
     return sig.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def _distinct_shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, dsh) with the words split bound in its own projection — see
+    :func:`shingles_from_words` for why the split must not be inlined."""
+    worded = df.select(F.col(id_col), _words(F.lower(F.col(text_col))).alias("w"))
+    return worded.select(
+        F.col(id_col),
+        F.array_distinct(shingles_from_words(F.col("w"), k)).alias("dsh"),
+    )
 
 
 def minhash_band_buckets(
@@ -271,9 +306,7 @@ def ngram_jaccard_pairs(
        guard, see ``_pairs_from_buckets``.
     """
     if exhaustive and candidates is None:
-        sh = df.select(
-            F.col(id_col), F.array_distinct(shingles(F.col(text_col), k)).alias("dsh")
-        )
+        sh = _distinct_shingle_frame(df, text_col, id_col, k)
         ex = sh.select(F.col(id_col), F.explode("dsh").alias("s"))
         candidates = (
             ex.alias("l")
@@ -293,10 +326,7 @@ def ngram_jaccard_pairs(
         # feature frame is localCheckpoint-ed so the four downstream uses
         # (two bucket-join sides, two shingle-join sides) read the
         # materialized partitions instead of recomputing the shingle scan.
-        feat = df.select(
-            F.col(id_col),
-            F.array_distinct(shingles(F.col(text_col), k)).alias("dsh"),
-        )
+        feat = _distinct_shingle_frame(df, text_col, id_col, k)
         feat = feat.select(
             id_col, "dsh", base_shingle_hashes(F.col("dsh")).alias("hs")
         )
@@ -307,9 +337,7 @@ def ngram_jaccard_pairs(
         candidates = _pairs_from_buckets(buckets, id_col, bucket_size_cap)
         sh = feat.select(id_col, "dsh")
     else:
-        sh = df.select(
-            F.col(id_col), F.array_distinct(shingles(F.col(text_col), k)).alias("dsh")
-        )
+        sh = _distinct_shingle_frame(df, text_col, id_col, k)
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("dsh").alias("dsh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("dsh").alias("dsh_b"))
     scored = (
@@ -334,10 +362,13 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_fingerprint(text: Column, bits: int = DEFAULT_SIMHASH_BITS) -> Column:
-    """Sign-vote SimHash over word hashes: bit b set iff Σ±1 votes > 0."""
-    words = _words(F.lower(text))
-    hashes = F.transform(words, _hash60)
+def simhash_from_hashes(hashes: Column, bits: int = DEFAULT_SIMHASH_BITS) -> Column:
+    """Sign-vote SimHash over a bound word-hash array column: bit b set
+    iff Σ±1 votes > 0. ``hashes`` is referenced ``bits`` times — pass an
+    attribute from a prior projection so the md5-per-word transform is
+    evaluated once, not once per bit (CollapseProject keeps non-cheap
+    multiply-referenced expressions un-inlined)."""
+
     def _voter(bit: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
@@ -350,10 +381,21 @@ def simhash_fingerprint(text: Column, bits: int = DEFAULT_SIMHASH_BITS) -> Colum
     return total
 
 
+def simhash_fingerprint(text: Column, bits: int = DEFAULT_SIMHASH_BITS) -> Column:
+    """Single-expression SimHash (composability form; the operator path
+    ``simhash_fingerprints`` stages the hash array in its own projection
+    to avoid the bits-fold re-evaluating the md5 transform)."""
+    return simhash_from_hashes(F.transform(_words(F.lower(text)), _hash60), bits)
+
+
 def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                          bits: int = DEFAULT_SIMHASH_BITS) -> DataFrame:
-    return df.select(
-        F.col(id_col), simhash_fingerprint(F.col(text_col), bits).alias("simhash")
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(_words(F.lower(F.col(text_col))), _hash60).alias("hh"),
+    )
+    return hashed.select(
+        F.col(id_col), simhash_from_hashes(F.col("hh"), bits).alias("simhash")
     )
 
 
