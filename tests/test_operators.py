@@ -456,3 +456,49 @@ def test_multiprobe_lsh_hamming_zero_is_single_bucket(spark):
     # Multi-probe candidates are a superset: top-1 cosine can only improve.
     if single and multi:
         assert multi[0]["cosine_sim"] >= single[0]["cosine_sim"]
+
+
+def test_synth_dedup_corpus_invariants(spark):
+    """The scale-dial corpus (sources/dedup_corpus.py) must have
+    scale-invariant duplicate structure: class counts proportional to n,
+    deterministic content, boilerplate families byte-identical."""
+    from riptide_spark.sources.dedup_corpus import (
+        BOILER_FAMILIES,
+        synth_dedup_corpus,
+    )
+
+    n = 2000
+    c = synth_dedup_corpus(spark, n)
+    rows = c.count()
+    # n base + n/20 near-dups + n/25 exact dups, minus boiler ids excluded
+    # from the dup branches (ids %100==0 overlap both %20 and %25).
+    assert rows == n + (n // 20 - n // 100) + (n // 25 - n // 100)
+
+    # Determinism.
+    a = sorted(tuple(r) for r in c.limit(50).collect())
+    b = sorted(tuple(r) for r in synth_dedup_corpus(spark, n).limit(50).collect())
+    assert a == b
+
+    # Boilerplate families are byte-identical per family.
+    from pyspark.sql import functions as F
+
+    fams = (
+        c.filter((F.col("doc_id") < n) & (F.pmod("doc_id", 100) == 0))
+        .groupBy(F.pmod(F.col("doc_id") / 100, BOILER_FAMILIES).cast("int").alias("f"))
+        .agg(F.countDistinct("text").alias("texts"), F.count("*").alias("members"))
+        .collect()
+    )
+    assert len(fams) == BOILER_FAMILIES
+    assert all(r["texts"] == 1 and r["members"] == n // 100 // BOILER_FAMILIES for r in fams)
+
+    # Near-dups verify above the 0.8 threshold; exact dups at jaccard 1.
+    from riptide_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(c).collect()}
+    near = [(i, i + 10 * n) for i in range(0, n, 20) if i % 100 != 0]
+    exact = [(i, i + 20 * n) for i in range(0, n, 25) if i % 100 != 0]
+    for p in near:
+        assert p in pairs and 0.8 <= pairs[p] < 1.0, p
+    for p in exact:
+        assert p in pairs and pairs[p] == 1.0, p
