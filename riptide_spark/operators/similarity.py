@@ -373,6 +373,75 @@ def ann_topk_lsh(
     return candidates.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
+def write_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the LSH layout: write the table PARTITIONED BY the
+    hyperplane signature bucket. Each query then reads only its multi-probe
+    bucket set (Σ C(planes,i), i ≤ hamming partitions of 2^planes) through
+    partition pruning — the LSH twin of ``write_ivf_index``. No routing
+    table needed: the planes are md5-derived from the dimension index, so
+    the query signature is recomputable anywhere."""
+    with_sig = embeddings.withColumn(
+        "lsh_bucket", lsh_signature(F.col(vec_col).cast("array<double>"), planes)
+    )
+    with_sig.write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
+
+
+def lsh_signature_py(vec, planes: int = 8) -> int:
+    """Driver-side twin of :func:`lsh_signature` — bit-identical: the same
+    md5-derived plane components and the same left-fold summation order as
+    Spark's ``aggregate`` (element order, scalar adds), so the float
+    rounding (and thus every sign) matches exactly."""
+    import hashlib
+
+    sig = 0
+    for p in range(planes):
+        proj = 0.0
+        for i, v in enumerate(vec):
+            h = int(hashlib.md5(f"plane{p}:{i}".encode()).hexdigest()[:8], 16)
+            proj += float(v) * (h / 4294967296.0 - 0.5)
+        if proj > 0:
+            sig += 1 << p
+    return sig
+
+
+def ann_topk_lsh_index(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    planes: int = 8,
+    hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a written LSH index: compute the query signature driver-side
+    (tiny), expand the Hamming-radius probe set, and scan ONLY those
+    bucket partitions (partition pruning on the lsh_bucket IN filter)
+    before the exact cosine re-rank."""
+    q = [float(x) for x in query_vec]
+    sig = lsh_signature_py(q, planes)
+    probes = [sig ^ m for m in _probe_masks(planes, hamming)]
+    listed = spark.read.parquet(path)
+    qlit = F.array(*[F.lit(x) for x in q])
+    return (
+        listed.filter(F.col("lsh_bucket").isin(probes))
+        .select(
+            id_col,
+            F.round(
+                cosine(F.col(vec_col).cast("array<double>"), qlit), 6
+            ).cast("double").alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def _topk_per_query(scored: DataFrame, k: int, id_col: str) -> DataFrame:
     """Rank candidates per query (one shuffle on query_id), deterministic
     id tie-break — the batch analog of TakeOrdered."""

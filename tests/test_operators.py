@@ -502,3 +502,45 @@ def test_synth_dedup_corpus_invariants(spark):
         assert p in pairs and 0.8 <= pairs[p] < 1.0, p
     for p in exact:
         assert p in pairs and pairs[p] == 1.0, p
+
+
+def test_lsh_index_partition_pruning(spark, tmp_path):
+    """The written LSH layout must be queryable through partition pruning:
+    the scan's partition filters carry the probe-bucket IN list, the
+    driver-side signature is bit-identical to the Spark expression, and
+    the results match the in-memory multi-probe path."""
+    from riptide_spark.operators.similarity import (
+        ann_topk_lsh,
+        ann_topk_lsh_index,
+        lsh_signature,
+        lsh_signature_py,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(emb, path, planes=6)
+
+    # Driver-side signature parity with the Spark expression, all rows.
+    sigs_spark = {
+        r["vec_id"]: r["s"]
+        for r in emb.select(
+            "vec_id",
+            lsh_signature(F.col("embedding").cast("array<double>"), 6).alias("s"),
+        ).collect()
+    }
+    rows = emb.select("vec_id", "embedding").collect()
+    for r in rows[:50]:
+        assert lsh_signature_py(r["embedding"], 6) == sigs_spark[r["vec_id"]]
+
+    qvec = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    indexed = ann_topk_lsh_index(spark, path, qvec, k=11, planes=6, hamming=2)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lsh_bucket" in plan.split("PartitionFilters", 1)[1][:300], plan[:800]
+
+    got = [(r["vec_id"], r["cosine_sim"]) for r in indexed.collect() if r["vec_id"] != 0]
+    mem = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in ann_topk_lsh(emb, query_id=0, k=10, planes=6, hamming=2).collect()
+    ]
+    assert got[: len(mem)] == mem
