@@ -399,6 +399,70 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bucket_size_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole blocking (the Manku/Google simhash-dedup layout): split the
+    ``bits``-bit fingerprint into ``bands`` equal bit-slices; any pair
+    within Hamming distance ``bands - 1`` differs in at most ``bands - 1``
+    slices, so at least one slice matches exactly — candidates are pairs
+    sharing a slice value (equi-join, one shuffle), then the exact
+    ``bit_count(xor)`` verifies. Complete recall requires
+    ``max_hamming <= bands - 1`` (asserted). ``bucket_size_cap`` guards
+    slice-value floods the same way the MinHash path does.
+
+    Defaults: 32-bit fingerprints / 4 bands of 8 — at 8-bit slices a
+    random pair matches a band with probability ~4/256, keeping the
+    candidate set linear-ish at corpus scale, while random pairs pass the
+    Hamming-3 verify with probability ~1.3e-6.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming (got {bands}): "
+            "pigeonhole blocking only guarantees recall up to bands-1 bit flips"
+        )
+    if bits % bands:
+        raise ValueError(f"bits={bits} must divide evenly into bands={bands}")
+    width = bits // bands
+    mask = (1 << width) - 1
+    fp = simhash_fingerprints(df, text_col, id_col, bits)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    buckets = fp.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = _pairs_from_buckets(buckets, id_col, bucket_size_cap)
+    fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

@@ -495,8 +495,9 @@ def q_dedup_embedding(d: Dialect, threshold: float = 0.95) -> str:
   WHERE {dot} / ({norm_a} * {norm_b}) >= {threshold}"""
 
 
-def q_simhash(d: Dialect, bits: int = 16) -> str:
-    """16-bit sign-vote SimHash fingerprints."""
+def _simhash_ctes(d: Dialect, bits: int, source: str) -> str:
+    """toks/hashed/fp CTE bodies computing the sign-vote SimHash over the
+    given source relation's (doc_id, text)."""
     words = d.split_ws("lower(text)")
     hashes = (
         f"transform(w, x -> {d.hash60('x')})"
@@ -517,9 +518,50 @@ def q_simhash(d: Dialect, bits: int = 16) -> str:
             )
         bit_terms.append(f"(CASE WHEN {votes} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)")
     return f"""
-  WITH toks AS (SELECT doc_id, {words} AS w FROM documents),
-       hashed AS (SELECT doc_id, {hashes} AS h FROM toks)
-  SELECT doc_id, CAST({' + '.join(bit_terms)} AS BIGINT) AS simhash FROM hashed"""
+  toks AS (SELECT doc_id, {words} AS w FROM {source}),
+  hashed AS (SELECT doc_id, {hashes} AS h FROM toks),
+  fp AS (SELECT doc_id, CAST({' + '.join(bit_terms)} AS BIGINT) AS simhash FROM hashed)"""
+
+
+def q_simhash(d: Dialect, bits: int = 16) -> str:
+    """16-bit sign-vote SimHash fingerprints."""
+    return f"""
+  WITH {_simhash_ctes(d, bits, 'documents').strip()}
+  SELECT doc_id, simhash FROM fp"""
+
+
+def q_simhash_pairs(
+    d: Dialect, bits: int = 32, max_hamming: int = 3, bands: int = 4
+) -> str:
+    """SimHash near-dup pairs: pigeonhole band blocking (any pair within
+    Hamming ≤ bands-1 shares one intact bit-slice) + exact bit_count(xor)
+    verification — the SQL rendering of ``dedup.simhash_near_pairs`` over
+    the duplicated corpus."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, (simhash >> {b * width}) & {mask} AS bucket FROM fp"
+        for b in range(bands)
+    )
+    ham = (
+        f"bit_count(xor(a.simhash, b.simhash))"
+        if d.name == "duck"
+        else "bit_count(a.simhash ^ b.simhash)"
+    )
+    return _DUP_CORPUS + "," + _simhash_ctes(d, bits, "corpus") + f""",
+  bands AS (
+{band_rows}
+  ),
+  cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+  )
+  SELECT c.id_a, c.id_b, CAST({ham} AS INT) AS hamming
+  FROM cand c
+  JOIN fp a ON a.doc_id = c.id_a
+  JOIN fp b ON b.doc_id = c.id_b
+  WHERE {ham} <= {max_hamming}"""
 
 
 def q_token_counts(d: Dialect) -> str:
@@ -884,6 +926,7 @@ GENERATORS = {
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "dedup_embedding_cosine": q_dedup_embedding,
     "simhash_fingerprints": q_simhash,
+    "simhash_near_pairs": q_simhash_pairs,
     "token_counts": q_token_counts,
     "langid_stopwords": q_langid,
     "text_quality_signals": q_text_quality,

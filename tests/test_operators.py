@@ -544,3 +544,27 @@ def test_lsh_index_partition_pruning(spark, tmp_path):
         for r in ann_topk_lsh(emb, query_id=0, k=10, planes=6, hamming=2).collect()
     ]
     assert got[: len(mem)] == mem
+
+
+def test_simhash_near_pairs_operator_matches_sql(spark, docs):
+    """The banded SimHash near-pair operator must produce exactly the rows
+    of the dialect-template SQL (and find every injected exact duplicate
+    at hamming 0); completeness guard rejects under-banded configs."""
+    from riptide_spark.operators.dedup import simhash_near_pairs
+
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    api = simhash_near_pairs(corpus)
+    sql = spark.sql(OQ.spark_sql("simhash_near_pairs"))
+    assert _rows(api) == _rows(sql)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in api.collect()}
+    for i in [r["doc_id"] for r in docs.filter(F.col("doc_id") % 20 == 0).collect()]:
+        assert found.get((i, i + 100000)) == 0
+
+    with pytest.raises(ValueError):
+        simhash_near_pairs(corpus, max_hamming=4, bands=4)
+    with pytest.raises(ValueError):
+        simhash_near_pairs(corpus, bits=30, bands=4)
