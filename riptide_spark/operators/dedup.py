@@ -305,9 +305,13 @@ def ngram_jaccard_pairs(
        ``DEFAULT_BUCKET_CAP``, ``None`` disables) — the boilerplate-flood
        guard, see ``_pairs_from_buckets``.
     """
+    exhaustive_sh: DataFrame | None = None
     if exhaustive and candidates is None:
-        sh = _distinct_shingle_frame(df, text_col, id_col, k)
-        ex = sh.select(F.col(id_col), F.explode("dsh").alias("s"))
+        # Materialize the shingle frame once: it feeds both sides of the
+        # candidate self-join AND both verify join sides below — without
+        # the checkpoint the O(docs × shingles) scan would run four times.
+        exhaustive_sh = _distinct_shingle_frame(df, text_col, id_col, k).localCheckpoint()
+        ex = exhaustive_sh.select(F.col(id_col), F.explode("dsh").alias("s"))
         candidates = (
             ex.alias("l")
             .join(
@@ -336,6 +340,8 @@ def ngram_jaccard_pairs(
         buckets = _explode_bands(feat, id_col, num_hashes, band_size)
         candidates = _pairs_from_buckets(buckets, id_col, bucket_size_cap)
         sh = feat.select(id_col, "dsh")
+    elif exhaustive_sh is not None:
+        sh = exhaustive_sh
     else:
         sh = _distinct_shingle_frame(df, text_col, id_col, k)
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("dsh").alias("dsh_a"))
@@ -407,6 +413,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     bucket_size_cap: int | None = DEFAULT_BUCKET_CAP,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -423,6 +430,12 @@ def simhash_near_pairs(
     random pair matches a band with probability ~4/256, keeping the
     candidate set linear-ish at corpus scale, while random pairs pass the
     Hamming-3 verify with probability ~1.3e-6.
+
+    With ``materialize=True`` the fingerprint frame is
+    ``localCheckpoint``-ed so the md5-per-word SimHash scan runs ONCE
+    instead of once per use (band explode + two verify join sides). Lazy
+    by default for composability — same contract as
+    :func:`minhash_candidate_pairs`.
     """
     if max_hamming > bands - 1:
         raise ValueError(
@@ -434,6 +447,8 @@ def simhash_near_pairs(
     width = bits // bands
     mask = (1 << width) - 1
     fp = simhash_fingerprints(df, text_col, id_col, bits)
+    if materialize:
+        fp = fp.localCheckpoint()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -180,17 +180,19 @@ def run_extraction_job(
     # comes from the manifest ledger (sum of committed run row counts), not
     # a pre-count of the input — at 100 TB an extra full input pass for a
     # log stat is real money. Exact under the resume contract (every done
-    # url re-appears in the input, which anti-join resume presumes). If the
-    # ledger is incomplete — a crash between data write and manifest
-    # commit/amend left rows unaccounted — fall back to counting the done
-    # side instead: a url-only column-pruned scan of the OUTPUT table,
-    # still never a pass over the input.
+    # url re-appears in the input, which anti-join resume presumes). The
+    # fast path requires ``ledger_complete()``: every data file on disk
+    # accounted for by a committed manifest with a known row count — a
+    # crash between a data write and its manifest commit leaves ORPHAN
+    # files the anti-join still honors but the ledger cannot see, so in
+    # that case fall back to counting the done side instead: a url-only
+    # column-pruned scan of the OUTPUT table, still never a pass over the
+    # input.
     skipped = 0
     if config.resume and output.exists():
         done = output.read().select("url")
-        manifests = [m for m in output.manifests() if m.committed]
-        if manifests and all(m.rows >= 0 for m in manifests):
-            skipped = sum(m.rows for m in manifests)
+        if output.ledger_complete():
+            skipped = sum(m.rows for m in output.manifests() if m.committed)
         else:
             skipped = done.count()
         pages = resume_anti_join(pages, done)

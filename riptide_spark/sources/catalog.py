@@ -32,6 +32,10 @@ class Manifest:
     run_id: str
     rows: int
     committed: bool
+    # Relative paths of the data files this run wrote — the Iceberg-style
+    # file ledger. None = unknown (legacy manifest): consumers must treat
+    # ledger coverage as unverifiable, not as empty.
+    files: list[str] | None = None
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -76,8 +80,40 @@ class TableIO:
             if name.endswith(".json"):
                 with open(os.path.join(self.manifest_dir, name)) as fh:
                     payload = json.load(fh)
-                out.append(Manifest(payload["run_id"], payload["rows"], payload["committed"]))
+                out.append(
+                    Manifest(
+                        payload["run_id"],
+                        payload["rows"],
+                        payload["committed"],
+                        payload.get("files"),
+                    )
+                )
         return out
+
+    def data_files(self) -> list[str]:
+        """Relative paths of every parquet data file currently on disk."""
+        out = []
+        for root, _, files in os.walk(self.data_path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.append(
+                        os.path.relpath(os.path.join(root, f), self.data_path)
+                    )
+        return sorted(out)
+
+    def ledger_complete(self) -> bool:
+        """True iff every data file on disk is accounted for by a committed
+        manifest's file list AND every committed manifest has a known row
+        count — i.e. no orphan files from a crash between a data write and
+        its manifest commit, and no un-amended counts. Only then is the
+        manifest ledger a faithful row accounting of the table."""
+        manifests = [m for m in self.manifests() if m.committed]
+        if not manifests:
+            return False
+        if any(m.rows < 0 or m.files is None for m in manifests):
+            return False
+        ledger = {f for m in manifests for f in m.files}
+        return all(f in ledger for f in self.data_files())
 
     # -- IO ---------------------------------------------------------------
     def read(self) -> DataFrame:
@@ -96,28 +132,34 @@ class TableIO:
         skipped; no duplicates, no loss). ``rows`` is lineage metadata the
         caller passes when it already knows the count (avoid a re-scan)."""
         run_id = run_id or uuid.uuid4().hex[:12]
+        before = set(self.data_files()) if os.path.isdir(self.data_path) else set()
         writer = df.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.data_path)
-        manifest = Manifest(run_id=run_id, rows=rows, committed=True)
-        os.makedirs(self.manifest_dir, exist_ok=True)
-        tmp = os.path.join(self.manifest_dir, f".run-{run_id}.json.tmp")
-        final = os.path.join(self.manifest_dir, f"run-{run_id}.json")
-        with open(tmp, "w") as fh:
-            fh.write(manifest.to_json())
-        os.replace(tmp, final)  # atomic commit marker
-        return manifest
+        written = [f for f in self.data_files() if f not in before]
+        manifest = Manifest(run_id=run_id, rows=rows, committed=True, files=written)
+        return self._write_manifest(manifest)
 
     def amend_manifest(self, run_id: str, rows: int) -> Manifest:
         """Atomically enrich a committed manifest with the true row count
         (the count is only known after the post-write read-back; a crash
         between commit and amendment leaves ``rows=-1``, which consumers
-        must treat as unknown, not negative)."""
-        manifest = Manifest(run_id=run_id, rows=rows, committed=True)
-        tmp = os.path.join(self.manifest_dir, f".run-{run_id}.json.tmp")
-        final = os.path.join(self.manifest_dir, f"run-{run_id}.json")
+        must treat as unknown, not negative). The file ledger from the
+        original commit is preserved."""
+        files = None
+        for m in self.manifests():
+            if m.run_id == run_id:
+                files = m.files
+                break
+        manifest = Manifest(run_id=run_id, rows=rows, committed=True, files=files)
+        return self._write_manifest(manifest)
+
+    def _write_manifest(self, manifest: Manifest) -> Manifest:
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        tmp = os.path.join(self.manifest_dir, f".run-{manifest.run_id}.json.tmp")
+        final = os.path.join(self.manifest_dir, f"run-{manifest.run_id}.json")
         with open(tmp, "w") as fh:
             fh.write(manifest.to_json())
-        os.replace(tmp, final)
+        os.replace(tmp, final)  # atomic commit marker
         return manifest

@@ -271,3 +271,33 @@ def test_salting_spreads_hot_host_in_host_keyed_shuffle(spark):
     assert max(salted.values()) < max(unsalted.values()) / 2
     # Determinism: same url → same salt on rerun.
     assert salted == hot_partition_spread(["hot.example.com"])
+
+
+def test_orphan_rows_counted_in_resume_skip_stat(spark, tmp_path):
+    """A crash between a data write and its manifest commit leaves orphan
+    rows the anti-join honors but the manifest ledger cannot see. The
+    ledger-completeness check (per-manifest file lists vs files on disk)
+    must detect them and fall back to counting the done side, so
+    rows_skipped_resume stays exact — the code-review r3 scenario."""
+    import os
+
+    cfg = ExtractionJobConfig(output_path=str(tmp_path / "out"), resume=True)
+    run_extraction_job(spark, _pages_df(spark, n=50), cfg)
+
+    # Run 2 over a superset; then simulate the crash by deleting ONLY its
+    # manifest — its 30 new rows become orphans.
+    two = run_extraction_job(spark, _pages_df(spark, n=80), cfg)
+    manifest_dir = os.path.join(cfg.output_path, "_manifests")
+    os.remove(os.path.join(manifest_dir, f"run-{two.run_id}.json"))
+
+    io = TableIO(spark, cfg.output_path)
+    assert not io.ledger_complete()  # orphan files detected
+
+    rerun = run_extraction_job(spark, _pages_df(spark, n=80), cfg)
+    assert rerun.rows_written == 0
+    assert rerun.rows_skipped_resume == 80  # 50 committed + 30 orphans
+
+    # A clean history keeps the scan-free fast path.
+    cfg2 = ExtractionJobConfig(output_path=str(tmp_path / "out2"), resume=True)
+    run_extraction_job(spark, _pages_df(spark, n=40), cfg2)
+    assert TableIO(spark, cfg2.output_path).ledger_complete()

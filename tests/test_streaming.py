@@ -150,8 +150,13 @@ def test_first_batch_latency_bound(spark, tmp_path):
     finally:
         query.awaitTermination(timeout=300)
     total = time.perf_counter() - start
-    if ttfb is None and first_batch_on_disk():  # stream beat the poll loop
-        ttfb = total
+    if ttfb is None and first_batch_on_disk():
+        # The whole stream finished before the poll loop ever observed the
+        # first batch — TTFB ≤ total by definition, so only the absolute
+        # bound is assertable (the relative check would spuriously fail on
+        # exactly the fastest runs).
+        assert total < 60.0, f"stream took {total:.1f}s"
+        return
     assert ttfb is not None, "no NDJSON batch ever appeared"
     assert ttfb < 60.0, f"first micro-batch took {ttfb:.1f}s"
     # Incremental delivery: the first of 8 micro-batches must not take the
