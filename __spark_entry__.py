@@ -157,6 +157,19 @@ def _q_extract_pipeline_invariants(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_events_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows per event_type — the SAME declarative
+    plan `streaming/events.py` runs under Structured Streaming with a
+    watermark (batch here, so the driver can oracle it against DuckDB
+    time_bucket); late-data semantics are pinned by
+    ``tests/test_streaming_events.py``."""
+    _ensure_lossy_decode(spark)
+    from riptide_spark.streaming.events import windowed_event_counts
+
+    _register_views(spark, sf_dir)
+    return windowed_event_counts(spark.table("events"))
+
+
 def _q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunker spans over documents.text (non-SQL op)."""
     _ensure_lossy_decode(spark)
@@ -773,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Non-SQL-expressible operators: rows-only checks.
     out["extract_pipeline"] = _q_extract_pipeline
     out["extract_pipeline_invariants"] = _q_extract_pipeline_invariants
+    out["events_windowed_counts"] = _q_events_windowed_counts
     out["chunk_spans"] = _q_chunk_spans
     out["fixed_chunk_spans"] = _q_fixed_chunk_spans
     out["topic_chunk_spans"] = _q_topic_chunk_spans

@@ -1674,9 +1674,24 @@ def udf_oracle_extract_pipeline_invariants() -> str:
   FROM ({route}) r"""
 
 
+def udf_oracle_events_windowed_counts() -> str:
+    """Expected output of ``_q_events_windowed_counts``: Spark's tumbling
+    ``window(ts, '10 minutes')`` ≡ DuckDB ``time_bucket``; counts and
+    6dp-rounded value sums per (window, event_type)."""
+    return """
+  SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+         time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS window_end,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(ROUND(SUM(value), 6) AS DOUBLE) AS sum_value
+  FROM events
+  GROUP BY 1, 2, 3"""
+
+
 UDF_ORACLES = {
     "chunk_spans": udf_oracle_chunk_spans,
     "extract_pipeline_invariants": udf_oracle_extract_pipeline_invariants,
+    "events_windowed_counts": udf_oracle_events_windowed_counts,
     "corpus_curation": udf_oracle_corpus_curation,
     "strategy_composition": udf_oracle_strategy_composition,
     "topic_chunk_spans": udf_oracle_topic_chunk_spans,

@@ -1,0 +1,140 @@
+"""Stateful Structured Streaming over events (§2.10 scale-out):
+watermarked windowed aggregation with pinned late-data semantics, and the
+applyInPandasWithState sessionization checked against the batch
+window-function derivation it mirrors."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from riptide_spark.streaming.events import (
+    EVENTS_SCHEMA,
+    SESSION_GAP_SECONDS,
+    start_sessionization_stream,
+    start_windowed_counts_stream,
+    windowed_event_counts,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(i, minutes, user=1, etype="view", value=1.0):
+    return (i, T0 + dt.timedelta(minutes=minutes), user, etype, value, "{}")
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    time.sleep(1.1)  # file-source ordering is by modification time
+
+
+def test_windowed_counts_late_data_semantics(spark, tmp_path):
+    """Append mode + 30-min watermark: a row 10 min late (inside the
+    watermark) folds into its window; a row later than the watermark is
+    dropped; each finalized window is emitted exactly once."""
+    inp = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # Batch 1: events at minutes 1..9 (window 0-10) and 61 (window 60-70,
+    # pushing the watermark to 31 after this batch).
+    _write(spark, inp, [_ev(0, 1), _ev(1, 5), _ev(2, 9), _ev(3, 61)])
+    # Batch 2: minute 25 (LATE vs max-seen 61, but within the 30-min
+    # watermark → must fold into window 20-30) and minute 121 (advances
+    # the watermark to 91 so windows ≤ 90 finalize).
+    _write(spark, inp, [_ev(4, 25), _ev(5, 121)])
+    # Batch 3: minute 15 — watermark is now 91, so this row is TOO late
+    # (15 < 91) and must be dropped; minute 181 advances the watermark.
+    _write(spark, inp, [_ev(6, 15), _ev(7, 181)])
+
+    q = start_windowed_counts_stream(spark, inp, out, ckpt, "10 minutes", "30 minutes")
+    q.awaitTermination(timeout=300)
+    got = {
+        (r["window_start"].minute + 60 * r["window_start"].hour, r["event_type"]): r[
+            "n_events"
+        ]
+        for r in spark.read.parquet(out).collect()
+    }
+    # Finalized windows: 0-10 (3 events), 20-30 (the late-but-ok event),
+    # 60-70. Window 120-130 is not final (watermark 151 < ... it IS ≤ 151);
+    # assert only on the pinned rows — and that the dropped row created no
+    # 10-20 window.
+    assert got[(0, "view")] == 3
+    assert got[(20, "view")] == 1  # late-within-watermark row counted
+    assert (10, "view") not in got  # too-late row dropped entirely
+    assert got[(60, "view")] == 1
+
+    # Batch/stream parity: the same declarative agg over the non-dropped
+    # rows reproduces every emitted window.
+    batch = {
+        (r["window_start"].minute + 60 * r["window_start"].hour, r["event_type"]): r[
+            "n_events"
+        ]
+        for r in windowed_event_counts(
+            spark.read.parquet(inp).filter(F.col("event_id") != 6)
+        ).collect()
+    }
+    for key, n in got.items():
+        assert batch[key] == n
+
+
+def test_stateful_sessionization_matches_batch_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions (gap > 30
+    min inside a batch, or event-time timeout once the watermark passes
+    the gap horizon) must reproduce the batch lag/gap derivation."""
+    inp = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # user 1: sessions [0..10] (3 events), [50..55] (2 events), then [200]
+    # user 2: one session [5..20] (2 events), then [300]
+    _write(
+        spark,
+        inp,
+        [_ev(0, 0), _ev(1, 4), _ev(2, 10), _ev(3, 5, user=2), _ev(4, 20, user=2)],
+    )
+    _write(spark, inp, [_ev(5, 50), _ev(6, 55)])
+    # Final batch far in the future: watermark passes every gap horizon,
+    # timing out (flushing) the open sessions from earlier batches.
+    _write(spark, inp, [_ev(7, 200), _ev(8, 300, user=2)])
+
+    q = start_sessionization_stream(spark, inp, out, ckpt)
+    q.awaitTermination(timeout=300)
+
+    rows = sorted(
+        (r["user_id"], r["session_start"].minute + 60 * r["session_start"].hour,
+         r["session_end"].minute + 60 * r["session_end"].hour, r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # Closed sessions: user1 [0..10]x3 and [50..55]x2 (gap-closed inside
+    # batches), user2 [5..20]x2, PLUS user1's [200] — its event-time
+    # timeout (200 + 30min = 230) is passed by the final watermark (300),
+    # so the timer fires in the drain micro-batch and flushes it. User2's
+    # [300] session stays open in state: timeout 330 > watermark 300.
+    assert rows == [(1, 0, 10, 3), (1, 50, 55, 2), (1, 200, 200, 1), (2, 5, 20, 2)]
+
+    # Cross-check against the batch window-function derivation: every
+    # closed session respects the same 30-min gap rule.
+    events = spark.read.parquet(inp)
+    batch_sessions = (
+        events.withColumn(
+            "prev",
+            F.lag(F.unix_timestamp("ts")).over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .withColumn(
+            "new_session",
+            (F.col("prev").isNull())
+            | (F.unix_timestamp("ts") - F.col("prev") > SESSION_GAP_SECONDS),
+        )
+    )
+    n_session_starts = batch_sessions.filter("new_session").count()
+    # 3 closed + 2 still-open = all batch session starts accounted for.
+    assert n_session_starts == 5
