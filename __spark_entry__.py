@@ -732,6 +732,16 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-backed override of the SQL rendering: same values, but the
+    md5-per-word fingerprint scan is checkpointed once instead of being
+    recomputed for the band explode and both verify join sides."""
+    _ensure_lossy_decode(spark)
+    from riptide_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_dup_corpus(spark, sf_dir), materialize=True)
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard verification of MinHash-LSH candidates via the
     DataFrame operator (one checkpointed shingle+signature scan — the SQL
@@ -802,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Operator-backed override: same values as the SQL rendering, but the
     # shingle+MinHash scan is checkpointed instead of recomputed per side.
     out["ngram_jaccard_pairs"] = _q_ngram_jaccard
+    out["simhash_near_pairs"] = _q_simhash_near_pairs
     out["css_field_extraction"] = _q_css_fields
     out["schema_extraction"] = _q_schema_extraction
     out["strategy_composition"] = _q_strategy_composition

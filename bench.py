@@ -48,6 +48,8 @@ BENCH_QUERIES = (
     "dedup_exact",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "simhash_near_pairs",
+    "events_windowed_counts",
     "dedup_connected_components",
     "corpus_curation",
     "quality_filter_verdicts",
