@@ -126,10 +126,14 @@ def _sessionize(key, pdfs, state):
     gap = SESSION_GAP_SECONDS
 
     def emit(start_sec: float, last_sec: float, n: int) -> dict:
+        # Naive-UTC datetimes (the session timezone is pinned to UTC).
+        def utc(sec: float) -> dt.datetime:
+            return dt.datetime.fromtimestamp(sec, dt.timezone.utc).replace(tzinfo=None)
+
         return {
             "user_id": user_id,
-            "session_start": dt.datetime.utcfromtimestamp(start_sec),
-            "session_end": dt.datetime.utcfromtimestamp(last_sec),
+            "session_start": utc(start_sec),
+            "session_end": utc(last_sec),
             "n_events": n,
         }
 
