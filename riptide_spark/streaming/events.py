@@ -87,6 +87,25 @@ def windowed_event_counts(
     )
 
 
+def _read_events_stream(spark: SparkSession, input_path: str, max_files: int):
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files))
+        .parquet(input_path)
+    )
+
+
+def _start_parquet_sink(df: DataFrame, output_path: str, checkpoint_path: str):
+    return (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_windowed_counts_stream(
     spark: SparkSession,
     input_path: str,
@@ -101,27 +120,22 @@ def start_windowed_counts_stream(
     once, when the watermark passes its end; windows still open when an
     ``availableNow`` run drains are held in the state store for the next
     incremental run (exactly the Iceberg-checkpoint resume contract)."""
-    events = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(input_path)
-    )
+    events = _read_events_stream(spark, input_path, max_files_per_trigger)
     agg = windowed_event_counts(events, window, watermark)
-    return (
-        agg.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", output_path)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_parquet_sink(agg, output_path, checkpoint_path)
 
 
 def _sessionize(key, pdfs, state):
-    """applyInPandasWithState function: merge the group's batch rows into
-    gap-delimited sessions, emit every CLOSED session, keep the open one
-    in state with an event-time timeout at last_ts + gap (flushed when the
-    watermark passes it)."""
+    """applyInPandasWithState function: merge the group's batch rows plus
+    the open-session interval from state into gap-delimited sessions
+    (interval clustering over the sorted union, so out-of-order rows
+    admitted under the previous batch's watermark extend or precede the
+    open session correctly — SPARK-40925's two-watermark window), emit
+    every CLOSED session, keep the newest one in state with an event-time
+    timeout at last_ts + gap. Approximation bound inherent to O(1) state:
+    a straggler older than every already-EMITTED session cannot reopen it
+    (emitted sessions are final); it forms/joins a session among the rows
+    still visible."""
     (user_id,) = key
     gap = SESSION_GAP_SECONDS
 
@@ -137,39 +151,52 @@ def _sessionize(key, pdfs, state):
             "n_events": n,
         }
 
+    empty = pd.DataFrame([], columns=[f.name for f in SESSION_SCHEMA])
+
     if state.hasTimedOut:
         out = []
         if state.exists:
             start_sec, last_sec, n = state.get
-            out.append(emit(start_sec, last_sec, int(n)))
+            out.append(emit(float(start_sec), float(last_sec), int(n)))
         state.remove()
-        yield pd.DataFrame(out, columns=[f.name for f in SESSION_SCHEMA])
+        yield pd.DataFrame(out, columns=[f.name for f in SESSION_SCHEMA]) if out else empty
         return
 
-    seconds: list[float] = []
+    # Intervals (lo, hi, count): each event is a point; the open session
+    # from state is one interval. Null timestamps cannot sessionize and
+    # must not kill the task (NaT.timestamp() raises) — drop them, as the
+    # windowed-agg surface does.
+    intervals: list[tuple[float, float, int]] = []
     for pdf in pdfs:
-        seconds.extend(t.timestamp() for t in pdf["ts"])
-    seconds.sort()
-    if not seconds:
-        yield pd.DataFrame([], columns=[f.name for f in SESSION_SCHEMA])
-        return
-
+        for t in pdf["ts"]:
+            if not pd.isna(t):
+                sec = t.timestamp()
+                intervals.append((sec, sec, 1))
     if state.exists:
         start_sec, last_sec, n = state.get
-        start_sec, last_sec, n = float(start_sec), float(last_sec), int(n)
-    else:
-        start_sec, last_sec, n = seconds[0], seconds[0], 0
-    closed = []
-    for sec in seconds:
-        if n and sec - last_sec > gap:
-            closed.append(emit(start_sec, last_sec, n))
-            start_sec, n = sec, 0
-        last_sec = max(last_sec, sec)
-        n += 1
-    state.update((start_sec, last_sec, n))
+        intervals.append((float(start_sec), float(last_sec), int(n)))
+    if not intervals:
+        yield empty
+        return
+    intervals.sort()
+
+    merged: list[list] = []
+    for lo, hi, cnt in intervals:
+        if merged and lo - merged[-1][1] <= gap:
+            merged[-1][1] = max(merged[-1][1], hi)
+            merged[-1][2] += cnt
+        else:
+            merged.append([lo, hi, cnt])
+    closed = [emit(lo, hi, cnt) for lo, hi, cnt in merged[:-1]]
+    lo, hi, cnt = merged[-1]
+    state.update((lo, hi, cnt))
     # Flush the open session once the user has been quiet past the gap.
-    state.setTimeoutTimestamp(int((last_sec + gap) * 1000))
-    yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA])
+    # Clamp above the CURRENT watermark: late-admitted rows (previous-batch
+    # watermark) can put last+gap below it, and setTimeoutTimestamp rejects
+    # sub-watermark timers by crashing the query (reproduced on 4.1.2).
+    timeout_ms = max(int((hi + gap) * 1000), state.getCurrentWatermarkMs() + 1)
+    state.setTimeoutTimestamp(timeout_ms)
+    yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA]) if closed else empty
 
 
 def start_sessionization_stream(
@@ -177,18 +204,16 @@ def start_sessionization_stream(
     input_path: str,
     output_path: str,
     checkpoint_path: str,
+    watermark: str = "0 seconds",
     max_files_per_trigger: int = 1,
 ):
     """Custom stateful operator: per-user session windows via
     ``applyInPandasWithState`` with event-time timeouts — the streaming
-    twin of the batch ``events_sessionization`` oracle query."""
-    events = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(input_path)
-    )
+    twin of the batch ``events_sessionization`` oracle query. ``watermark``
+    is the out-of-order admission window; raise it on disordered feeds."""
+    events = _read_events_stream(spark, input_path, max_files_per_trigger)
     sessions = (
-        events.withWatermark("ts", "0 seconds")
+        events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize,
@@ -198,11 +223,4 @@ def start_sessionization_stream(
             timeoutConf="EventTimeTimeout",
         )
     )
-    return (
-        sessions.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", output_path)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return _start_parquet_sink(sessions, output_path, checkpoint_path)
