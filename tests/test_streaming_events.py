@@ -6,7 +6,6 @@ window-function derivation it mirrors."""
 from __future__ import annotations
 
 import datetime as dt
-import os
 import time
 
 from pyspark.sql import functions as F
