@@ -8,8 +8,10 @@ Port of the reference's table extractor
 * headers from ``thead th`` plus ``th`` cells of a first-child ``tr``
   (the ``tr:first-child th`` arm, resolved structurally — positional
   pseudo-classes are outside the pinned selector subset);
-* rows from every ``tr`` (dedup against tbody double-match), skipping
-  th-bearing rows once headers exist; cells = ``td, th`` text trimmed;
+* rows from ``tbody tr`` when an explicit tbody exists (all emitted),
+  else every ``tr`` outside thead/tfoot, skipping a th-bearing row only
+  at row index 0 once headers exist (extractor.rs:222-276 — a mid-table
+  th row IS a body row); cells = ``td, th`` text trimmed;
 * rowspan/colspan grid expansion
   (``table_extraction/extractor.rs:328-366``): the reference records each
   cell's ``column_index`` (advanced by ``colspan``) plus the ``spans_over``
@@ -66,34 +68,60 @@ def _extract_single_table(table: dom.Element) -> TableData:
     if caption is not None:
         data.caption = _text(caption)
 
-    # Headers: thead th, plus th cells of tr elements that are the first
-    # element child of their parent ("tr:first-child th").
+    # Headers: thead th; the first-child-tr th arm is a FALLBACK taken
+    # only when the table has no thead (extract_multi_level_headers,
+    # extractor.rs:431-482 — with a thead present the reference never
+    # consults other rows, so a tbody's leading th row stays a body row).
     headers: list[dom.Element] = list(dom.query_selector_all(table, "thead th"))
-    seen_headers = {id(h) for h in headers}  # pos is subtree-relative; use identity
-    for tr in dom.query_selector_all(table, "tr"):
-        if tr.parent is not None and _first_child_element(tr.parent) is tr:
-            for th in dom.query_selector_all(tr, "th"):
-                if id(th) not in seen_headers:
-                    headers.append(th)
-                    seen_headers.add(id(th))
+    if not headers:
+        seen_headers: set[int] = set()  # pos is subtree-relative; use identity
+        for tr in dom.query_selector_all(table, "tr"):
+            if tr.parent is not None and _first_child_element(tr.parent) is tr:
+                for th in dom.query_selector_all(tr, "th"):
+                    if id(th) not in seen_headers:
+                        headers.append(th)
+                        seen_headers.add(id(th))
     # Header colspan expansion: a th spanning c columns labels c columns.
     data.headers = []
     for h in headers:
         data.headers.extend([_text(h)] * _span_attr(h, "colspan"))
 
-    # Body grid with span expansion. ``pending`` holds (row, col) → content
-    # for slots covered by a rowspan from an earlier row — the reference's
-    # ``spans_over`` position list (extractor.rs:347-358) materialized into
-    # the matrix. Keys use the PHYSICAL row index (every <tr> advances it,
-    # emitted or not), matching the reference's row_index bookkeeping: a
-    # rowspan that spans across a skipped header row covers that physical
-    # row, whose slots are drained without being emitted (ADVICE r2).
+    # Body-row selection mirrors extract_table_sections (extractor.rs:
+    # 222-276) exactly: with an explicit <tbody>, its rows are ALL body
+    # rows (even th-bearing ones — no skip arm in that branch); without
+    # one, every <tr> outside thead/tfoot is a body row EXCEPT a
+    # th-bearing row at row_index 0 when headers were already extracted
+    # (extractor.rs:256-263 — the skip applies ONLY at index 0; a
+    # mid-table th row is emitted as a body row). Round 3 skipped every
+    # th-bearing row, a divergence ADVICE r3 flagged; fixed to parity.
+    tbody_rows = dom.query_selector_all(table, "tbody tr")
+    if tbody_rows:
+        body_trs = tbody_rows
+        skip_first_th = False
+    else:
+        body_trs = [
+            tr
+            for tr in dom.query_selector_all(table, "tr")
+            if not _in_section(tr, "thead") and not _in_section(tr, "tfoot")
+        ]
+        skip_first_th = bool(data.headers)
+
+    # Grid span expansion. ``pending`` holds (row, col) → content for
+    # slots covered by a rowspan from an earlier row — the reference's
+    # ``spans_over`` position list (extractor.rs:347-358) materialized
+    # into the matrix. Keys use the reference's row_index (every body-
+    # position <tr> advances it, emitted or not): a rowspan spanning the
+    # skipped index-0 header row covers that row, whose slots are drained
+    # without being emitted (ADVICE r2).
     pending: dict[tuple[int, int], str] = {}
-    rp = 0  # physical row index
-    for tr in dom.query_selector_all(table, "tr"):
-        if data.headers and dom.query_selector(tr, "th") is not None:
-            # Header rows are not emitted, but they still occupy a physical
-            # row: consume any rowspan coverage landing on them.
+    rp = 0  # reference row_index (body-position rows)
+    for tr in body_trs:
+        if (
+            skip_first_th
+            and rp == 0
+            and dom.query_selector(tr, "th") is not None
+        ):
+            # extractor.rs:256-263: consume coverage, advance the index.
             for key in [k for k in pending if k[0] == rp]:
                 pending.pop(key)
             rp += 1
@@ -124,6 +152,16 @@ def _extract_single_table(table: dom.Element) -> TableData:
             data.rows.append(row_out)
         rp += 1
     return data
+
+
+def _in_section(el: dom.Element, section_tag: str) -> bool:
+    """is_in_section (extractor.rs:~280): any ancestor with the given tag."""
+    node = el.parent
+    while node is not None:
+        if node.tag == section_tag:
+            return True
+        node = node.parent
+    return False
 
 
 def _has_descendant(el: dom.Element, tag: str) -> bool:

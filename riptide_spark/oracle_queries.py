@@ -1674,6 +1674,125 @@ def udf_oracle_extract_pipeline_invariants() -> str:
   FROM ({route}) r"""
 
 
+def udf_oracle_extract_pipeline() -> str:
+    """FULL value oracle for the flagship ``extract_pipeline`` run over the
+    synthesized corpus — closes the last ``no_oracle`` row (VERDICT r3
+    next-round #3). Every output column (url, title, extracted_text,
+    content_mode, quality_score, word_count) is re-derived in closed form
+    from the generating ``documents`` table, because the page templates
+    (``pages_cte``) make the extractor's behavior enumerable:
+
+    * route: the same gate-score derivation ``gate_route_counts`` pins
+      (gate.rs:83-137, 233-246) — raw ≥ 0.7, headless ≤ 0.3 ∨ spa ≥ 3,
+      else probes_first;
+    * article pass (lib.rs:479-509): the <article> inner text
+      ('Doc N' + text, h1/p concatenated with no separator) when the page
+      has one AND its trimmed UTF-8 length exceeds 200 bytes, else the
+      <body> inner text (script texts included — inner_text concatenates
+      all descendant text nodes);
+    * article quality (lib.rs basic+enhanced): 30 + title-length bonus
+      (+8 when 'Doc N' exceeds 5 bytes, i.e. doc_id ≥ 10) + content-byte
+      bonus + word bonus + 5 for the always-detected html[lang] language;
+    * probes-first escalation (engine_selection.rs:450-469):
+      wc < 50 ∨ (q < 50 ∧ wc < 100); the native ladder's quality rubric
+      (quality.rs:7-56) cannot reach 60 on this corpus (≤ ~580 text
+      bytes, no sentences/markdown indicators → ≤ 50), so every escalated
+      or headless row takes the body-text fallback: title 'Fallback
+      Extraction', quality 40, text = body inner text
+      (fallbacks.rs:19-41).
+
+    The derivation is per-document, so the driver hash pins every byte of
+    every extracted_text — stronger than the aggregate invariants row."""
+    words_art = f"len(regexp_split_to_array(trim(t_art), '{_WS}'))"
+    words_body = f"len(regexp_split_to_array(trim(bodytext), '{_WS}'))"
+    return (
+        pages_cte(DUCK)
+        + ", feats AS ("
+        + _gate_features_select(DUCK)
+        + f"), scored AS (SELECT doc_id, spa_markers, {_SCORE_EXPR} FROM feats),"
+        + """
+  routed AS (
+    SELECT doc_id,
+      CASE WHEN gate_score >= 0.7 THEN 'raw'
+           WHEN gate_score <= 0.3 OR spa_markers >= 3 THEN 'headless'
+           ELSE 'probes_first' END AS content_mode
+    FROM scored),
+  base AS (
+    SELECT p.doc_id, p.url, p.text, r.content_mode,
+      'Doc ' || CAST(p.doc_id AS VARCHAR) AS docn,
+      repeat('var x=1;', CAST(p.doc_id % 4 AS INT)) AS sc
+    FROM pages p JOIN routed r USING (doc_id)),
+  built AS (
+    SELECT *,
+      sc || (CASE WHEN doc_id % 5 = 0 THEN docn || text ELSE text END) AS bodytext
+    FROM base),
+  art AS (
+    SELECT *,
+      CASE WHEN doc_id % 5 = 0 AND octet_length(encode(trim(docn || text))) > 200
+           THEN trim(docn || text) ELSE trim(bodytext) END AS t_art
+    FROM built),
+"""
+        + f"""
+  artwc AS (SELECT *, {words_art} AS wc_art FROM art),
+  artq AS (
+    SELECT *,
+      LEAST(30
+        + CASE WHEN octet_length(encode(docn)) > 10 AND octet_length(encode(docn)) < 100 THEN 15
+               WHEN octet_length(encode(docn)) > 5 THEN 8 ELSE 0 END
+        + CASE WHEN octet_length(encode(t_art)) > 2000 THEN 20
+               WHEN octet_length(encode(t_art)) > 1000 THEN 15
+               WHEN octet_length(encode(t_art)) > 500 THEN 10
+               WHEN octet_length(encode(t_art)) > 200 THEN 5 ELSE 0 END
+        + CASE WHEN wc_art > 500 THEN 10 WHEN wc_art > 200 THEN 5 ELSE 0 END
+        + 5, 100) AS q_art
+    FROM artwc),
+  decided AS (
+    SELECT *,
+      (content_mode = 'headless') OR
+      (content_mode = 'probes_first'
+       AND (wc_art < 50 OR (q_art < 50 AND wc_art < 100))) AS use_fallback
+    FROM artq)
+  SELECT url,
+    CASE WHEN use_fallback THEN 'Fallback Extraction' ELSE docn END AS title,
+    CASE WHEN use_fallback THEN trim(bodytext) ELSE t_art END AS extracted_text,
+    content_mode,
+    CAST(CASE WHEN use_fallback THEN 40 ELSE q_art END AS INT) AS quality_score,
+    CAST(CASE WHEN use_fallback THEN {words_body} ELSE wc_art END AS INT) AS word_count
+  FROM decided"""
+    )
+
+
+def udf_oracle_extract_golden_fixtures() -> str:
+    """The reference's own golden snapshots as driver-visible constants:
+    expected (title, quality_score, word_count, md5(extracted_text)) per
+    golden case, read from the read-only reference checkout at SQL
+    generation time (``wasm/riptide-extractor-wasm/tests/golden/
+    snapshots/*.json`` — the same files ``tests/test_golden.py`` pins
+    field-by-field). The Spark side runs the real extraction UDF over the
+    fixture HTML; hash agreement here IS byte-identity of the extracted
+    text vs the reference's goldens, surfaced as an oracled CORRECTNESS
+    row instead of only a pytest pin (VERDICT r3 next-round #3)."""
+    import hashlib
+
+    from .sources.golden import GOLDEN_CASES, load_snapshot
+
+    rows = []
+    for name, _fixture, url, mode in GOLDEN_CASES:
+        snap = load_snapshot(name)
+        digest = hashlib.md5(snap["text"].encode("utf-8")).hexdigest()
+        title = (snap["title"] or "").replace("'", "''")
+        rows.append(
+            f"('{name}', '{url}', '{mode}', '{title}', "
+            f"CAST({snap['quality_score']} AS INT), "
+            f"CAST({snap['word_count']} AS INT), '{digest}')"
+        )
+    values = ",\n    ".join(rows)
+    return f"""
+  SELECT * FROM (VALUES
+    {values})
+  AS t(case_name, url, mode, title, quality_score, word_count, text_md5)"""
+
+
 def udf_oracle_events_windowed_counts() -> str:
     """Expected output of ``_q_events_windowed_counts``: Spark's tumbling
     ``window(ts, '10 minutes')`` ≡ DuckDB ``time_bucket``; counts and
@@ -1690,6 +1809,8 @@ def udf_oracle_events_windowed_counts() -> str:
 
 UDF_ORACLES = {
     "chunk_spans": udf_oracle_chunk_spans,
+    "extract_pipeline": udf_oracle_extract_pipeline,
+    "extract_golden_fixtures": udf_oracle_extract_golden_fixtures,
     "extract_pipeline_invariants": udf_oracle_extract_pipeline_invariants,
     "events_windowed_counts": udf_oracle_events_windowed_counts,
     "corpus_curation": udf_oracle_corpus_curation,
@@ -1706,6 +1827,12 @@ UDF_ORACLES = {
     "similarity_ann_batch_recall": udf_oracle_similarity_ann_batch_recall,
     "similarity_ann_ivf_batch_recall": udf_oracle_similarity_ann_ivf_batch_recall,
     "similarity_ann_ivf": udf_oracle_similarity_ann_ivf,
+    # Materialized-index twins (VERDICT r3 next-round #4): the partition-
+    # pruned read paths return the same rows/recall as the in-memory
+    # paths, so they share those oracles; the plan gate (PartitionFilters
+    # over the probe set) is asserted INSIDE the driver query.
+    "similarity_ann_lsh_indexed": udf_oracle_similarity_ann_lsh,
+    "similarity_ann_ivf_indexed": udf_oracle_similarity_ann_ivf,
     "native_dom_extraction": udf_oracle_native_dom_extraction,
 }
 

@@ -102,18 +102,21 @@ class TableIO:
         return sorted(out)
 
     def ledger_complete(self) -> bool:
-        """True iff every data file on disk is accounted for by a committed
-        manifest's file list AND every committed manifest has a known row
-        count — i.e. no orphan files from a crash between a data write and
-        its manifest commit, and no un-amended counts. Only then is the
-        manifest ledger a faithful row accounting of the table."""
+        """True iff the committed manifests' file ledger EQUALS the set of
+        data files on disk AND every committed manifest has a known row
+        count. Disk ⊆ ledger rules out orphan files from a crash between a
+        data write and its manifest commit; ledger ⊆ disk rules out the
+        converse hole — a recorded file vacuumed/compacted/deleted after
+        commit, which would leave ``sum(m.rows)`` over-counting the done
+        side while the fast path still trusted it. Only under set equality
+        is the ledger a faithful row accounting of the table."""
         manifests = [m for m in self.manifests() if m.committed]
         if not manifests:
             return False
         if any(m.rows < 0 or m.files is None for m in manifests):
             return False
         ledger = {f for m in manifests for f in m.files}
-        return all(f in ledger for f in self.data_files())
+        return ledger == set(self.data_files())
 
     # -- IO ---------------------------------------------------------------
     def read(self) -> DataFrame:

@@ -1,42 +1,15 @@
-"""Golden fixture corpus: the reference's own fixtures + snapshots.
-
-Cases mirror ``/root/reference/wasm/riptide-extractor-wasm/tests/golden/mod.rs:75-146``.
-The HTML fixtures and expected snapshots are read directly from the read-only
-reference checkout; the north rule requires exact ``==`` on every field
-(stricter than the reference's 0.95 text-similarity gate, per FIXTURES.md §6).
+"""Golden fixture corpus — re-exported from ``riptide_spark.sources.golden``
+so the driver-visible ``extract_golden_fixtures`` query and these tests
+share one loader (single source of truth for case list + snapshot parsing).
 """
 
-from __future__ import annotations
-
-import json
-import re
-from pathlib import Path
-
-REFERENCE_WASM = Path("/root/reference/wasm/riptide-extractor-wasm")
-FIXTURES_DIR = REFERENCE_WASM / "tests" / "fixtures"
-SNAPSHOTS_DIR = REFERENCE_WASM / "tests" / "golden" / "snapshots"
-
-GOLDEN_CASES = [
-    # (name, fixture_file, url, mode)
-    ("news_site_article", "news_site.html", "https://news.example.com/tech/ai-breakthrough-2024", "article"),
-    ("news_site_full", "news_site.html", "https://news.example.com/tech/ai-breakthrough-2024", "full"),
-    ("blog_post_article", "blog_post.html", "https://devblog.example.com/scalable-web-apps-guide", "article"),
-    ("gallery_site_full", "gallery_site.html", "https://photogallery.example.com/collections/tokyo-street-life", "full"),
-    ("nav_heavy_metadata", "nav_heavy_site.html", "https://projectflow.example.com/dashboard", "metadata"),
-]
-
-# Fixtures without snapshots, still useful as extraction smoke inputs.
-EXTRA_FIXTURES = ["ecommerce.html", "edge_cases.html", "news_article.html"]
-
-
-def load_fixture(filename: str) -> str:
-    return (FIXTURES_DIR / filename).read_text(encoding="utf-8")
-
-
-def load_snapshot(name: str) -> dict:
-    raw = (SNAPSHOTS_DIR / f"{name}.json").read_text(encoding="utf-8")
-    return json.loads(re.sub(r"^//.*$", "", raw, flags=re.M))
-
-
-def reference_available() -> bool:
-    return SNAPSHOTS_DIR.is_dir()
+from riptide_spark.sources.golden import (  # noqa: F401
+    EXTRA_FIXTURES,
+    FIXTURES_DIR,
+    GOLDEN_CASES,
+    REFERENCE_WASM,
+    SNAPSHOTS_DIR,
+    load_fixture,
+    load_snapshot,
+    reference_available,
+)

@@ -69,7 +69,7 @@ def _oracle_names():
 
 @pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(spark, duck_con, contract, name):
-    spark_df = contract.queries()[name](spark, SF_DIR)
+    spark_df = contract.all_queries()[name](spark, SF_DIR)
     spark_cols = list(spark_df.columns)
     spark_rows = [tuple(r) for r in spark_df.collect()]
 
@@ -95,8 +95,15 @@ def test_entry_smoke(spark, contract):
     assert ok and all(r["extracted_text"] is not None for r in ok)
 
 
-def test_rows_only_queries_run(spark, contract):
+def test_driver_window_and_exclusions(spark, contract):
+    """The driver evaluates at most 50 queries (round 3 dropped the 51st
+    silently); every driver query must have an oracle — zero rows-only
+    checks — and every excluded query must still be covered here via
+    all_queries()."""
     q = contract.queries()
-    for name in ("extract_pipeline",):
-        df = q[name](spark, SF_DIR)
-        assert df.count() > 0, name
+    assert len(q) <= contract.DRIVER_QUERY_CAP
+    oracles = contract.oracle_sql()
+    missing = sorted(set(q) - set(oracles))
+    assert not missing, f"driver queries without an oracle: {missing}"
+    assert set(contract.DRIVER_EXCLUDED) <= set(contract.all_queries())
+    assert not set(contract.DRIVER_EXCLUDED) & set(q)

@@ -301,3 +301,34 @@ def test_orphan_rows_counted_in_resume_skip_stat(spark, tmp_path):
     cfg2 = ExtractionJobConfig(output_path=str(tmp_path / "out2"), resume=True)
     run_extraction_job(spark, _pages_df(spark, n=40), cfg2)
     assert TableIO(spark, cfg2.output_path).ledger_complete()
+
+
+def test_vacuumed_file_breaks_ledger_fast_path(spark, tmp_path):
+    """The converse hole (ADVICE r3): a data file recorded in a committed
+    manifest but deleted from disk (vacuum/compaction) must flip
+    ``ledger_complete`` to False — disk ⊆ ledger alone would keep the fast
+    path while ``sum(m.rows)`` over-counts the done side. The resume stat
+    must fall back to counting the (now smaller) done table, and the
+    deleted urls must be re-extracted by the anti-join."""
+    import glob
+    import os
+
+    cfg = ExtractionJobConfig(output_path=str(tmp_path / "out"), resume=True)
+    run_extraction_job(spark, _pages_df(spark, n=50), cfg)
+
+    io = TableIO(spark, cfg.output_path)
+    assert io.ledger_complete()
+
+    # Vacuum one committed data file out from under the ledger.
+    victim = sorted(
+        glob.glob(os.path.join(cfg.output_path, "**", "*.parquet"), recursive=True)
+    )[0]
+    os.remove(victim)
+    assert not io.ledger_complete()
+
+    surviving = io.read().count()
+    assert surviving < 50
+
+    rerun = run_extraction_job(spark, _pages_df(spark, n=50), cfg)
+    assert rerun.rows_skipped_resume == surviving  # exact, not sum(m.rows)=50
+    assert rerun.rows_written == 50 - surviving  # lost urls re-extracted

@@ -124,10 +124,11 @@ def test_tables_udf_spark(spark):
     assert first["metadata"]["id"] == "t1"
 
 
-def test_rowspan_spans_over_skipped_header_row():
-    """A rowspan crossing a th-bearing (skipped) row must track PHYSICAL
-    table rows (extractor.rs:349-358): the header row consumes the covered
-    slot, and the span must NOT spill into a later data row (ADVICE r2)."""
+def test_mid_table_th_row_is_a_body_row():
+    """extractor.rs:256-263 skips a th-bearing row ONLY at row_index 0
+    (once headers exist); a mid-table th row is a body row and receives
+    grid rowspan coverage. Round 3 dropped every th-bearing row — the
+    divergence ADVICE r3 flagged; this pins the parity fix."""
     html = (
         "<table><tr><th>A</th><th>B</th></tr>"
         "<tr><td rowspan='2'>tall</td><td>x</td></tr>"
@@ -136,9 +137,23 @@ def test_rowspan_spans_over_skipped_header_row():
     )
     t = extract_tables(html, "all")[0]
     assert t.headers == ["A", "B"]
-    # Physical row 2 is the skipped header row — it absorbs the rowspan
-    # coverage; row 3 is a plain data row, NOT ['tall', 'a', 'b'].
-    assert t.rows == [["tall", "x"], ["a", "b"]]
+    # row_index 0 is the skipped header row; index 2 (the mid-table th
+    # row) is emitted WITH the rowspan slot materialized at column 0.
+    assert t.rows == [["tall", "x"], ["tall", "mid-header", "h2"], ["a", "b"]]
+
+
+def test_explicit_tbody_rows_all_emitted():
+    """With an explicit <tbody>, the reference takes the tbody branch
+    (extractor.rs:228-241): every tbody row is a body row, including
+    th-bearing ones — no index-0 skip in that branch."""
+    html = (
+        "<table><thead><tr><th>H1</th><th>H2</th></tr></thead>"
+        "<tbody><tr><th>k</th><td>v</td></tr>"
+        "<tr><td>a</td><td>b</td></tr></tbody></table>"
+    )
+    t = extract_tables(html, "all")[0]
+    assert t.headers == ["H1", "H2"]
+    assert t.rows == [["k", "v"], ["a", "b"]]
 
 
 def test_rowspan_over_empty_physical_row():
