@@ -19,6 +19,25 @@ Both run on an unbounded ``readStream`` in production; the tests drive
 them with ``availableNow`` over file batches, which is the same engine
 code path (micro-batches + state store + watermark advancement between
 batches).
+
+**Skew + state sizing at 100 TB.** Both operators hold O(1) state per
+key (one open session per user; one accumulator per live window×type),
+so a hot key grows CPU within its task, never the store —
+``tests/test_streaming_events.py`` pins a 50 %-of-traffic hot user at
+≤ 1 state row. For production executors, switch the store off the
+default in-JVM-heap HDFS backend to RocksDB so state lives off-heap and
+spills to local SSD instead of pressuring the executor heap::
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    # optional: bound memory via
+    # spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage=true
+
+(Not exercised in this sandbox: the RocksDB provider needs executor
+local disk the local[32] test JVM doesn't isolate; the HDFS-backed
+provider is semantically identical and is what the tests run.)
 """
 
 from __future__ import annotations

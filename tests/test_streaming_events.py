@@ -175,3 +175,90 @@ def test_sessionization_survives_straggler_under_two_watermark_window(spark, tmp
     # user2's sessions [0] and [100..110] close by gap/timeout.
     assert (1, 10, 1) in rows
     assert (2, 0, 1) in rows and (2, 100, 2) in rows
+
+
+def test_sessionization_under_hot_key_skew(spark, tmp_path):
+    """State-store analog of the hot-host problem (VERDICT r3 #5): one
+    user carries ~50 % of all events. The stream must complete, emit
+    exact sessions for hot and cold keys alike, and hold per-key O(1)
+    state — the state store peaks at ≤ one row per distinct user, never
+    scaling with the hot key's event count (backpressure semantics,
+    reference crates/riptide-streaming/src/backpressure.rs)."""
+    inp = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    n_cold_users = 200
+    # Hot user 1: 2,000 events in two 1-event/minute runs separated by a
+    # > 30-min gap → exactly two sessions of 1,000 events each.
+    batch1 = [_ev(i, i) for i in range(1000)]
+    batch2 = [_ev(1000 + i, 3000 + i) for i in range(1000)]
+    # Cold users 2..201: 10 events each, one contiguous session per user.
+    eid = 2000
+    for u in range(2, 2 + n_cold_users):
+        base = (u % 40) * 60
+        for j in range(10):
+            batch1.append(_ev(eid, base + j, user=u))
+            eid += 1
+    _write(spark, inp, batch1)
+    _write(spark, inp, batch2)
+    # Sentinel far in the future: watermark passes every gap horizon and
+    # the timers flush all open sessions.
+    _write(spark, inp, [_ev(eid, 100000, user=9999)])
+
+    q = start_sessionization_stream(spark, inp, out, ckpt)
+    q.awaitTermination(timeout=600)
+    assert q.exception() is None, q.exception()
+
+    sessions = spark.read.parquet(out)
+    hot = sorted(
+        (r["n_events"],) for r in sessions.filter("user_id = 1").collect()
+    )
+    assert hot == [(1000,), (1000,)]
+    cold = sessions.filter(f"user_id between 2 and {1 + n_cold_users}")
+    assert cold.count() == n_cold_users
+    assert cold.agg(F.sum("n_events")).first()[0] == n_cold_users * 10
+
+    # Bounded state despite the skew: the store never holds more rows
+    # than distinct users (hot user = 1 row, not 2,000).
+    peaks = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    ]
+    assert peaks and max(peaks) <= n_cold_users + 2
+
+
+def test_windowed_counts_state_bounded_under_skew(spark, tmp_path):
+    """The windowed agg over the same skewed feed: state rows track
+    (window × event_type) cardinality — bounded by event-time span, not
+    by the hot key's volume — and the watermark retires finalized
+    windows from the store instead of accreting them."""
+    inp = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = [_ev(i, i % 240) for i in range(2000)]  # hot half, 24 windows
+    rows += [
+        _ev(2000 + i, (i % 240), user=2 + i % 100, etype="click")
+        for i in range(2000)
+    ]
+    _write(spark, inp, rows)
+    _write(spark, inp, [_ev(4000, 100000, user=9999)])
+
+    q = start_windowed_counts_stream(spark, inp, out, ckpt)
+    q.awaitTermination(timeout=600)
+    assert q.exception() is None, q.exception()
+
+    got = spark.read.parquet(out)
+    # 24 ten-minute windows × 2 event types, all finalized by the
+    # sentinel's watermark push; counts exact despite the skew.
+    assert got.filter("event_type = 'view'").count() == 24
+    assert got.agg(F.sum("n_events")).first()[0] == 4000
+    peaks = [
+        op["numRowsTotal"]
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    ]
+    # ≤ 48 live windows + the sentinel's; never ~4,001 input rows.
+    assert peaks and max(peaks) <= 60
