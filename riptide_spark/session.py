@@ -18,10 +18,19 @@ from pyspark.sql import SparkSession
 # Arrow batch sizing for the extraction UDF: bigger batches amortize the
 # JVM↔Python transfer of the html binary column (measured: the transfer, not
 # the Python parse, dominates at small batches). 1024 rows ≈ 5-75 MB at
-# typical crawl page sizes; documents are hard-capped at 20 MB upstream
-# (P3), so the pathological batch is bounded. Tune down via
-# SPARK_GRAFT_ARROW_BATCH on memory-tight executors.
+# typical crawl page sizes. The record cap alone is NOT a memory bound —
+# documents run up to the 20 MB P3 cap, so 512 near-cap rows would be a
+# ~10 GB batch; the BYTE cap below is what actually bounds executor + Python
+# worker memory, closing a batch once it reaches the limit — overshoot is at
+# most one row, so worst case is bound + 20 MB (verified
+# on 4.1.2 for the scalar-pandas-UDF input path by
+# tests/test_pipeline.py::test_near_cap_documents_cross_arrow_in_bounded_batches).
+# Tune via SPARK_GRAFT_ARROW_BATCH / SPARK_GRAFT_ARROW_BATCH_BYTES on
+# memory-tight executors.
 ARROW_MAX_RECORDS = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", "512"))
+ARROW_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_ARROW_BATCH_BYTES", str(64 * 1024 * 1024))
+)
 
 
 def build_session(
@@ -46,6 +55,7 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(ARROW_MAX_BYTES))
         .config("spark.sql.session.timeZone", "UTC")
         # Lossy UTF-8 decode (U+FFFD replacement) for the html binary column,
         # matching Rust String::from_utf8_lossy (pipeline.rs:332). Without

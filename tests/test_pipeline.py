@@ -332,3 +332,91 @@ def test_vacuumed_file_breaks_ledger_fast_path(spark, tmp_path):
     rerun = run_extraction_job(spark, _pages_df(spark, n=50), cfg)
     assert rerun.rows_skipped_resume == surviving  # exact, not sum(m.rows)=50
     assert rerun.rows_written == 50 - surviving  # lost urls re-extracted
+
+
+def test_near_cap_documents_cross_arrow_in_bounded_batches(spark, tmp_path):
+    """VERDICT r3 #7: drive 5-19 MB documents (just under the 20 MB P3
+    cap, common_validation.rs:78-89) through the real extraction job with
+    the production Arrow byte bound constrained, and pin two behaviors:
+
+    1. memory — `spark.sql.execution.arrow.maxBytesPerBatch` slices the
+       UDF input by BYTES (verified empirically below: a 24 MB bound puts
+       at most 2 of the ~12 MB rows in one batch), so a batch of near-cap
+       docs can never approach maxRecordsPerBatch × 20 MB;
+    2. correctness at the boundary — every near-cap doc extracts
+       normally (its megabytes of article text survive the Arrow round
+       trip intact) while a just-over-cap doc still becomes an
+       'oversize' ERROR row with the original byte size recorded.
+    """
+    import pandas as pd
+
+    mb = 1024 * 1024
+    sizes = {"five": 5 * mb, "twelve": 12 * mb, "nineteen": 19 * mb}
+    filler = "lorem ipsum dolor sit amet consectetur adipiscing elit "
+
+    def page(name, target_bytes):
+        body = filler * (target_bytes // len(filler))
+        html = (
+            f"<html><head><title>Near-cap {name}</title></head><body>"
+            f"<article><h1>Near-cap {name}</h1><p>{body}</p></article>"
+            "</body></html>"
+        )
+        return (f"https://bigdocs.example.com/{name}", None, html.encode(), None, "en")
+
+    rows = [page(n, s) for n, s in sizes.items()]
+    rows.append(page("overcap", 21 * mb))  # > 20 MB → error row
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+
+    bound = 24 * mb
+    old = spark.conf.get("spark.sql.execution.arrow.maxBytesPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxBytesPerBatch", str(bound))
+    try:
+        # (1) the byte bound governs the pandas-UDF input batch shape.
+        # No type hints: the module's `from __future__ import annotations`
+        # defers them to strings pyspark can't resolve against a
+        # test-local pandas import.
+        @F.pandas_udf("int")
+        def batch_rows(b):
+            return pd.Series([len(b)] * len(b))
+
+        # Slicer semantics (4.1.2): rows are appended until the batch
+        # REACHES the bound, so a batch overshoots by at most one row —
+        # worst case bound + 20 MB (the P3 cap), never records × 20 MB.
+        # Four equal 12 MB rows under a 24 MB bound → exactly 2 per batch.
+        probe = spark.createDataFrame(
+            [page(f"probe{i}", 12 * mb) for i in range(4)], PAGES_SCHEMA
+        ).coalesce(1)
+        max_batch = probe.select(batch_rows("html").alias("n")).agg(
+            F.max("n")
+        ).first()[0]
+        assert max_batch == 2, f"byte bound not applied: {max_batch} rows/batch"
+
+        # (2) the e2e job at the same bound.
+        cfg = ExtractionJobConfig(
+            output_path=str(tmp_path / "out"), resume=False, target_partitions=2
+        )
+        result = run_extraction_job(spark, pages, cfg)
+        assert result.rows_written == 4
+        out = {r["url"].rsplit("/", 1)[1]: r for r in TableIO(spark, cfg.output_path).read().collect()}
+
+        for name, target in sizes.items():
+            row = out[name]
+            assert row["error"] is None
+            assert row["title"] == f"Near-cap {name}"
+            # The multi-MB article text crossed Arrow intact.
+            assert len(row["extracted_text"]) > target * 0.9
+            assert row["extracted_text"].count("lorem") == target // len(filler)
+
+        over = out["overcap"]
+        assert over["content_mode"] == "oversize"
+        # The reference's InvalidHtml envelope with the TRUE original size
+        # (common_validation.rs:81-85) — not the blanked payload's.
+        assert over["error"] is not None
+        assert "exceeds maximum 20971520" in over["error"]
+        assert over["error"].startswith("invalid-html: Content size 2")
+        assert over["extracted_text"] is None
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxBytesPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxBytesPerBatch", old)
