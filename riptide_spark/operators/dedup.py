@@ -202,39 +202,67 @@ def minhash_band_buckets(
 
 
 def _pairs_from_buckets(
-    buckets: DataFrame, id_col: str, bucket_size_cap: int | None = None
+    buckets: DataFrame,
+    id_col: str,
+    bucket_size_cap: int | None = None,
+    overflow: str = "star",
 ) -> DataFrame:
     """Self-join each (band, bucket) group into candidate pairs.
 
     ``bucket_size_cap`` guards the 100 TB pathology: a bucket holding k
     documents contributes k² join rows, and boilerplate floods (millions
     of byte-identical pages) put millions of docs in ONE bucket. Buckets
-    above the cap are dropped before the join — their members are
-    byte-near-identical en masse and belong to the exact-dup pass
-    (``exact_duplicate_groups``), which handles them in one linear
-    groupBy instead of a quadratic pair expansion. ``None`` disables the
-    guard (exhaustive semantics)."""
+    above the cap skip the quadratic self-join; what happens to them is
+    ``overflow``:
+
+    * ``"star"`` (default) — emit hub–spoke pairs only: the bucket's
+      min-id member paired with each other member, k−1 rows instead of
+      k²/2. Every star pair genuinely shares a bucket (a strict subset
+      of the uncapped pair set — never a false candidate the uncapped
+      oracle lacks), and within-bucket connectivity is preserved
+      EXACTLY, so connected-components / curation clusters match the
+      uncapped semantics whenever downstream verification accepts the
+      hub–spoke edges (always, for byte-identical floods; for distinct
+      near-dup floods the hub is a verified witness for each spoke).
+    * ``"drop"`` — previous behaviour: over-cap buckets contribute no
+      pairs; their members are byte-near-identical en masse and belong
+      to the linear exact-dup pass (``exact_duplicate_groups``). Loses
+      connectivity for over-cap buckets of DISTINCT near-dup texts
+      (ADVICE r3).
+
+    ``None`` disables the guard entirely (exhaustive semantics)."""
+    if overflow not in ("star", "drop"):
+        raise ValueError(f"overflow must be 'star' or 'drop', got {overflow!r}")
+    star = None
     if bucket_size_cap is not None:
         sizes = buckets.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("_bucket_n")
+            F.count(F.lit(1)).alias("_bucket_n"),
+            F.min(id_col).alias("_hub"),
         )
-        buckets = (
-            buckets.join(sizes, ["band", "bucket"])
-            .filter(F.col("_bucket_n") <= bucket_size_cap)
-            .drop("_bucket_n")
+        tagged = buckets.join(sizes, ["band", "bucket"])
+        if overflow == "star":
+            # Hub = min id ⇒ hub < spoke, matching the (a < b) convention.
+            star = (
+                tagged.filter(F.col("_bucket_n") > bucket_size_cap)
+                .filter(F.col(id_col) != F.col("_hub"))
+                .select(
+                    F.col("_hub").alias("id_a"), F.col(id_col).alias("id_b")
+                )
+            )
+        buckets = tagged.filter(F.col("_bucket_n") <= bucket_size_cap).drop(
+            "_bucket_n", "_hub"
         )
     left = buckets.alias("l")
     right = buckets.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    pairs = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def minhash_candidate_pairs(
@@ -245,6 +273,7 @@ def minhash_candidate_pairs(
     band_size: int = 2,
     materialize: bool = False,
     bucket_size_cap: int | None = DEFAULT_BUCKET_CAP,
+    overflow: str = "star",
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one LSH bucket.
 
@@ -253,12 +282,14 @@ def minhash_candidate_pairs(
     self-join, so the expensive shingle+MinHash scan runs ONCE instead of
     once per join side. Lazy by default for composability.
     ``bucket_size_cap`` (default ``DEFAULT_BUCKET_CAP``) bounds the
-    per-bucket pair blow-up at corpus scale (see
-    ``_pairs_from_buckets``); ``None`` disables the guard."""
+    per-bucket pair blow-up at corpus scale; over-cap buckets degrade to
+    linear hub–spoke pairs by default (``overflow="star"``) instead of
+    losing all pairs (see ``_pairs_from_buckets``); ``None`` disables
+    the guard."""
     buckets = minhash_band_buckets(df, text_col, id_col, num_hashes, band_size)
     if materialize:
         buckets = buckets.localCheckpoint()
-    return _pairs_from_buckets(buckets, id_col, bucket_size_cap)
+    return _pairs_from_buckets(buckets, id_col, bucket_size_cap, overflow)
 
 
 def ngram_jaccard_pairs(
@@ -272,6 +303,7 @@ def ngram_jaccard_pairs(
     band_size: int = 2,
     bucket_size_cap: int | None = DEFAULT_BUCKET_CAP,
     exhaustive: bool = False,
+    overflow: str = "star",
 ) -> DataFrame:
     """Exact n-gram Jaccard verification over LSH candidate pairs.
 
@@ -338,7 +370,7 @@ def ngram_jaccard_pairs(
             id_col, "dsh", *minhash_from_hashes(F.col("hs"), num_hashes)
         ).localCheckpoint()
         buckets = _explode_bands(feat, id_col, num_hashes, band_size)
-        candidates = _pairs_from_buckets(buckets, id_col, bucket_size_cap)
+        candidates = _pairs_from_buckets(buckets, id_col, bucket_size_cap, overflow)
         sh = feat.select(id_col, "dsh")
     elif exhaustive_sh is not None:
         sh = exhaustive_sh
@@ -414,6 +446,7 @@ def simhash_near_pairs(
     bands: int = 4,
     bucket_size_cap: int | None = DEFAULT_BUCKET_CAP,
     materialize: bool = False,
+    overflow: str = "star",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -461,7 +494,7 @@ def simhash_near_pairs(
     buckets = fp.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    cand = _pairs_from_buckets(buckets, id_col, bucket_size_cap)
+    cand = _pairs_from_buckets(buckets, id_col, bucket_size_cap, overflow)
     fa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
     fb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
     return (

@@ -345,14 +345,26 @@ def test_minhash_bucket_size_cap_drops_flood_buckets(spark):
     assert sum(1 for r in uncapped if r["id_a"] < 100) == 30 * 29 // 2
 
     capped = {(r["id_a"], r["id_b"])
-              for r in minhash_candidate_pairs(corpus, bucket_size_cap=10).collect()}
-    # Flood buckets (30 > cap) are dropped; the small pair survives.
+              for r in minhash_candidate_pairs(
+                  corpus, bucket_size_cap=10, overflow="drop").collect()}
+    # overflow="drop": flood buckets (30 > cap) contribute no pairs; the
+    # small pair survives.
     assert capped == {(100, 101)}
+
+    # overflow="star" (the default): the flood degrades to linear
+    # hub–spoke pairs — 29 edges from hub 0 instead of 435 — keeping the
+    # flood connected while staying O(k).
+    star = {(r["id_a"], r["id_b"])
+            for r in minhash_candidate_pairs(corpus, bucket_size_cap=10).collect()}
+    assert star == {(100, 101)} | {(0, i) for i in range(1, 30)}
+    # Every star pair is a genuine candidate (subset of the uncapped set).
+    assert star <= {(r["id_a"], r["id_b"]) for r in uncapped}
 
     # The cap threads through ngram_jaccard_pairs' INTERNAL candidate
     # generation too (round-2 'What's wrong #1').
     verified = {(r["id_a"], r["id_b"])
-                for r in ngram_jaccard_pairs(corpus, bucket_size_cap=10).collect()}
+                for r in ngram_jaccard_pairs(
+                    corpus, bucket_size_cap=10, overflow="drop").collect()}
     assert verified == {(100, 101)}
 
     # ... and the excluded flood is fully handled by the linear exact-dup
@@ -360,6 +372,45 @@ def test_minhash_bucket_size_cap_drops_flood_buckets(spark):
     groups = exact_duplicate_groups(corpus).collect()
     flood_groups = [g for g in groups if g["keep_id"] == 0]
     assert len(flood_groups) == 1 and flood_groups[0]["n_docs"] == 30
+
+
+def test_star_overflow_keeps_distinct_flood_connected(spark):
+    """ADVICE r3 (dedup.py:30): an over-cap bucket of DISTINCT (non-
+    byte-identical) near-dup texts used to lose ALL pairs — the exact-dup
+    pass can't rescue it because no two members share a fingerprint. The
+    star overflow keeps the cluster one connected component at O(k) cost,
+    and the hub–spoke edges survive exact verification (each spoke is a
+    near-dup of the hub)."""
+    from riptide_spark.operators.dedup import (
+        connected_components,
+        exact_duplicate_groups,
+        minhash_candidate_pairs,
+        simhash_near_pairs,
+    )
+
+    base = ("boilerplate navigation header footer copyright subscribe "
+            "newsletter cookie consent privacy policy terms of service")
+    # 30 distinct variants of one template: same body, unique trailing id.
+    flood = [(i, f"{base} page token{i}") for i in range(30)]
+    corpus = spark.createDataFrame(flood, "doc_id long, text string")
+
+    # Not exact dups — the linear fingerprint pass finds no group.
+    assert all(g["n_docs"] == 1 for g in exact_duplicate_groups(corpus).collect())
+
+    pairs = minhash_candidate_pairs(corpus, bucket_size_cap=10)
+    n_pairs = pairs.count()
+    # Linear, not quadratic: at most (k-1) star edges per over-cap bucket
+    # per band (4 bands) plus small-bucket pairs — far below the 435
+    # uncapped pairs.
+    assert 0 < n_pairs < 30 * 29 // 2
+    comps = {r["component"] for r in connected_components(pairs).collect()}
+    assert len(comps) == 1, f"flood split into {len(comps)} components"
+
+    # Same guarantee on the SimHash path: identical-prefix variants sit
+    # within Hamming 3, so hub–spoke pairs pass the exact verify.
+    sh = simhash_near_pairs(corpus, bucket_size_cap=10)
+    sh_comps = {r["component"] for r in connected_components(sh.select("id_a", "id_b")).collect()}
+    assert len(sh_comps) == 1
 
 
 def test_ngram_jaccard_exhaustive_escape_hatch(spark):
