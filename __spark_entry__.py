@@ -852,6 +852,16 @@ def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_dup_corpus(spark, sf_dir), materialize=True)
 
 
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket candidate pairs via the DataFrame operator (one
+    checkpointed shingle+signature scan — the SQL rendering recomputes the
+    scan once per self-join side, ~5× the wall at sf0.1)."""
+    _ensure_lossy_decode(spark)
+    from riptide_spark.operators.dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(_dup_corpus(spark, sf_dir), materialize=True)
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard verification of MinHash-LSH candidates via the
     DataFrame operator (one checkpointed shingle+signature scan — the SQL
@@ -945,6 +955,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_curation"] = _q_corpus_curation
     # Operator-backed override: same values as the SQL rendering, but the
     # shingle+MinHash scan is checkpointed instead of recomputed per side.
+    out["minhash_candidate_pairs"] = _q_minhash_pairs
     out["ngram_jaccard_pairs"] = _q_ngram_jaccard
     out["simhash_near_pairs"] = _q_simhash_near_pairs
     out["css_field_extraction"] = _q_css_fields

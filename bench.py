@@ -46,7 +46,7 @@ BENCH_QUERIES = (
     "gate_features",
     "gate_route_counts",
     "dedup_exact",
-    "minhash_signatures",
+    "minhash_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash_near_pairs",
     "events_windowed_counts",
@@ -57,7 +57,7 @@ BENCH_QUERIES = (
     "langid_stopwords",
     "similarity_cosine_topk",
     "similarity_ann_lsh",
-    "similarity_ann_ivf",
+    "similarity_ann_ivf_indexed",
     "table_extraction",
     "pdf_extraction",
     "events_sessionization",
@@ -100,6 +100,14 @@ def ensure_corpus(spark, n: int) -> str:
 
 def run_bench(cpus: int, sf_dir: str) -> dict:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    import __spark_entry__ as entrymod
+
+    # Fail before spending the extraction leg if the bench list drifted out
+    # of sync with queries() (a consolidation there broke the r4 bench).
+    unknown = [n for n in BENCH_QUERIES if n not in entrymod.queries()]
+    if unknown:
+        raise KeyError(f"BENCH_QUERIES not in queries(): {unknown}")
+
     from riptide_spark.session import build_session
 
     spark = build_session("riptide-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
