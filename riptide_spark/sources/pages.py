@@ -374,3 +374,21 @@ def pages_dataframe(spark, n: int, seed: int = 42, partitions: int | None = None
 
 def write_pages_parquet(spark, path: str, n: int, seed: int = 42) -> None:
     pages_dataframe(spark, n, seed).write.mode("overwrite").parquet(path)
+
+
+def write_pages_by_day(spark, path: str, n: int, seed: int = 42) -> None:
+    """The north rule's crawl layout on plain parquet: `days(warc_ts)` as a
+    materialized `warc_day` partition column (Iceberg applies the transform
+    in metadata; hive-style parquet needs the column spelled out). A reader
+    filtering on `warc_day` scans only the matching day directories —
+    partition pruning, the access path for incremental per-crawl-day
+    processing at 10^12-doc scale."""
+    from pyspark.sql import functions as F
+
+    (
+        pages_dataframe(spark, n, seed)
+        .withColumn("warc_day", F.to_date("warc_ts"))
+        .write.mode("overwrite")
+        .partitionBy("warc_day")
+        .parquet(path)
+    )
