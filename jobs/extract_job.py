@@ -39,6 +39,10 @@ def main() -> None:
     parser.add_argument("--partitions", type=int, default=None)
     parser.add_argument("--hot-hosts", default="",
                         help="'auto' for a discovery pre-pass, or comma-separated hosts")
+    parser.add_argument("--since", default=None, metavar="YYYY-MM-DD",
+                        help="process crawl days >= this date (inclusive)")
+    parser.add_argument("--until", default=None, metavar="YYYY-MM-DD",
+                        help="process crawl days <= this date (inclusive)")
     parser.add_argument("--no-resume", action="store_true")
     args = parser.parse_args()
 
@@ -56,6 +60,24 @@ def main() -> None:
         pages = pages_dataframe(spark, args.synthesize)
     else:
         pages = spark.read.parquet(args.input)
+
+    if args.since or args.until:
+        from pyspark.sql import functions as F
+
+        # Incremental per-crawl-day processing: on a days(warc_ts) layout
+        # (write_pages_by_day / Iceberg day transform) the warc_day
+        # predicate is a PartitionFilter — only the matching day
+        # directories are scanned. Unpartitioned inputs fall back to the
+        # equivalent warc_ts predicate (pushed, but not pruning).
+        day = (
+            F.col("warc_day")
+            if "warc_day" in pages.columns
+            else F.to_date("warc_ts")
+        )
+        if args.since:
+            pages = pages.filter(day >= args.since)
+        if args.until:
+            pages = pages.filter(day <= args.until)
 
     if args.hot_hosts == "auto":
         hot_hosts = discover_hot_hosts(pages)

@@ -83,3 +83,49 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert {"url", "extracted_text", "title", "content_mode"} <= cols
     n = duckdb.sql(f"SELECT count(*) FROM '{out_dir}/data/**/*.parquet'").fetchone()[0]
     assert n == 300
+
+
+def test_spark_submit_day_scoped_incremental_run(spark, tmp_path):
+    """--since/--until on a days(warc_ts) layout processes exactly one
+    crawl day's pages (partition-pruned scan; pruning itself is pinned by
+    test_plans.test_warc_day_layout_prunes_partitions)."""
+    from pyspark.sql import functions as F
+
+    from riptide_spark.sources.pages import write_pages_by_day
+
+    input_dir = str(tmp_path / "pages")
+    # 17 s per index → ~5,083 pages/day; 11,000 spans 3 partition days.
+    write_pages_by_day(spark, input_dir, 11_000, seed=5)
+    pages = spark.read.parquet(input_dir)
+    day0 = str(pages.agg(F.min("warc_day")).first()[0])
+    expected = pages.filter(F.col("warc_day") == day0).count()
+    assert 0 < expected < 11_000
+
+    out_dir = tmp_path / "out"
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            # cwd=REPO: the package resolves from the checkout here; the
+            # --py-files zip mechanics are pinned by the test above.
+            os.path.join(REPO, "jobs", "extract_job.py"),
+            "--input", input_dir,
+            "--since", day0,
+            "--until", day0,
+            "--output", str(out_dir),
+            "--buckets", "4",
+            "--salts", "2",
+            "--no-resume",
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"stderr tail:\n{proc.stderr[-4000:]}"
+    m = re.search(r"written=(\d+)", proc.stdout)
+    assert m and int(m.group(1)) == expected, proc.stdout[-2000:]
