@@ -374,6 +374,75 @@ def test_minhash_bucket_size_cap_drops_flood_buckets(spark):
     assert len(flood_groups) == 1 and flood_groups[0]["n_docs"] == 30
 
 
+def test_one_pass_signatures_match_per_slot_forms(spark):
+    """The one-pass accumulator formulations (minhash_array's zip_with
+    min-fold, simhash's vote-vector fold) must stay bit-identical to the
+    per-slot composability forms (one array_min / one aggregate per
+    slot) that the SQL oracles mirror — including degenerate docs:
+    empty, whitespace-only, fewer words than the shingle width,
+    repeated words, and non-ASCII."""
+    from riptide_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures,
+        simhash_fingerprint,
+        simhash_fingerprints,
+    )
+
+    docs = [
+        (0, ""),
+        (1, "   "),
+        (2, "one"),
+        (3, "one two"),
+        (4, "one two three four five"),
+        (5, "dup dup dup dup dup"),
+        (6, "naïve café über straße 日本語 текст"),
+        (7, "a " * 500),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    fast = sorted(tuple(r) for r in minhash_signatures(df).collect())
+    slow = sorted(
+        tuple(r) for r in df.select("doc_id", *minhash_signature(F.col("text"))).collect()
+    )
+    assert fast == slow
+
+    # SimHash reference: the pre-round-4 per-bit shape (one aggregate per
+    # bit), re-stated here so the one-pass vote vector stays pinned to it.
+    from riptide_spark.operators.dedup import _hash60, _words
+
+    def reference_simhash(hashes, bits):
+        def _voter(bit):
+            return lambda acc, h: acc + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        total = F.lit(0).cast("bigint")
+        for b in range(bits):
+            votes = F.aggregate(hashes, F.lit(0).cast("bigint"), _voter(b))
+            total = total + F.when(votes > 0, F.lit(1 << b).cast("bigint")).otherwise(0)
+        return total
+
+    hashed = df.select(
+        "doc_id", F.transform(_words(F.lower(F.col("text"))), _hash60).alias("hh")
+    )
+    fast_sh = sorted(tuple(r) for r in simhash_fingerprints(df, bits=32).collect())
+    slow_sh = sorted(
+        tuple(r)
+        for r in hashed.select(
+            "doc_id", reference_simhash(F.col("hh"), 32).alias("simhash")
+        ).collect()
+    )
+    assert fast_sh == slow_sh
+    # And the single-expression composability form agrees too.
+    inline_sh = sorted(
+        tuple(r)
+        for r in df.select(
+            "doc_id", simhash_fingerprint(F.col("text"), bits=32).alias("simhash")
+        ).collect()
+    )
+    assert fast_sh == inline_sh
+
+
 def test_star_overflow_keeps_distinct_flood_connected(spark):
     """ADVICE r3 (dedup.py:30): an over-cap bucket of DISTINCT (non-
     byte-identical) near-dup texts used to lose ALL pairs — the exact-dup
