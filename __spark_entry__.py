@@ -564,14 +564,34 @@ def _assert_partition_pruned(df: DataFrame, partition_col: str) -> None:
     partitions (PartitionFilters over the bucket/list column), asserted
     inside the driver query so the plan gate runs on every correctness
     pass, not only in unit tests (VERDICT r3 next-round #4)."""
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if "PartitionFilters" not in plan:
+    # Inspect EVERY PartitionFilters clause, not just the first occurrence
+    # plus a fixed window: a plan with two partitioned scans (the indexed
+    # read joined against another partitioned table) would otherwise gate
+    # against whichever scan prints first. Only the index table carries
+    # the bucket/list column, so requiring any NON-EMPTY clause that
+    # names it binds the check to the index scan.
+    clauses = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    if not clauses:
         raise AssertionError(f"index scan not partition-pruned:\n{plan[:1500]}")
-    tail = plan.split("PartitionFilters", 1)[1][:300]
-    if partition_col not in tail:
+    if not any(partition_col in c and c.strip() for c in clauses):
         raise AssertionError(
-            f"PartitionFilters does not constrain {partition_col}:\n{tail}"
+            f"no non-empty PartitionFilters clause constrains {partition_col}: "
+            f"{clauses}"
         )
+
+
+def _index_path(kind: str, sf_dir: str) -> str:
+    """Fixed scratch path per (kind, scale factor), reused across
+    invocations — the index writers run mode("overwrite"), so repeated
+    correctness/bench passes rewrite in place instead of leaking a fresh
+    mkdtemp copy of the embeddings table per call."""
+    import tempfile
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(tempfile.gettempdir(), f"riptide_{kind}_index_{tag}", "idx")
 
 
 def _query_vec(emb: DataFrame, query_id: int = 0):
@@ -586,13 +606,11 @@ def _q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-memory multi-probe path, so it shares that full SQL oracle
     (``udf_oracle_similarity_ann_lsh``)."""
     _ensure_lossy_decode(spark)
-    import tempfile
-
     from riptide_spark.operators.similarity import ann_topk_lsh_index, write_lsh_index
 
     _register_views(spark, sf_dir)
     emb = spark.table("embeddings")
-    path = os.path.join(tempfile.mkdtemp(prefix="riptide_lsh_index_"), "idx")
+    path = _index_path("lsh", sf_dir)
     write_lsh_index(emb, path, planes=6)
     # k+1 then drop the query row itself (cosine 1.0, always rank 1) —
     # identical row set to ann_topk_lsh(query_id=0, k=10).
@@ -608,8 +626,6 @@ def _q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force — the same summary shape (and pinned constants) as the
     in-memory IVF path, since the index read returns identical rows."""
     _ensure_lossy_decode(spark)
-    import tempfile
-
     from riptide_spark.operators.similarity import (
         ann_topk_ivf_index,
         cosine_topk,
@@ -619,7 +635,7 @@ def _q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     emb = spark.table("embeddings")
     k = 10
-    path = os.path.join(tempfile.mkdtemp(prefix="riptide_ivf_index_"), "idx")
+    path = _index_path("ivf", sf_dir)
     centroids = write_ivf_index(emb, path, n_centroids=8)
     indexed = ann_topk_ivf_index(
         spark, path, centroids, _query_vec(emb), k=k + 1, n_probe=2
@@ -936,7 +952,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         name: _sql_query(name) for name in _ORACLE_NAMES
     }
     out["extract_pipeline"] = _q_extract_pipeline
-    out["extract_golden_fixtures"] = _q_extract_golden_fixtures
+    from riptide_spark.sources.golden import reference_available
+
+    if reference_available():
+        # Query and oracle both derive from the reference checkout's
+        # golden fixtures; on a host without it the pair drops together
+        # (oracle_queries.udf_oracles applies the same gate).
+        out["extract_golden_fixtures"] = _q_extract_golden_fixtures
     out["extract_pipeline_invariants"] = _q_extract_pipeline_invariants
     out["events_windowed_counts"] = _q_events_windowed_counts
     out["chunk_spans"] = _q_chunk_spans
@@ -975,10 +997,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for name, fn in all_queries().items()
         if name not in DRIVER_EXCLUDED
     }
-    assert len(out) <= DRIVER_QUERY_CAP, (
-        f"{len(out)} driver queries exceed the {DRIVER_QUERY_CAP}-row window; "
-        "consolidate before shipping (VERDICT r3 'What's wrong' #2)"
-    )
+    if len(out) > DRIVER_QUERY_CAP:
+        # A hard raise, not `assert` — python -O would compile an assert
+        # away and silently recreate the r3 dropped-51st-query failure.
+        raise RuntimeError(
+            f"{len(out)} driver queries exceed the {DRIVER_QUERY_CAP}-row "
+            "window; consolidate before shipping (VERDICT r3 'What's wrong' #2)"
+        )
     return out
 
 

@@ -1838,4 +1838,16 @@ UDF_ORACLES = {
 
 
 def udf_oracles() -> dict[str, str]:
-    return {name: gen() for name, gen in UDF_ORACLES.items()}
+    out = {}
+    for name, gen in UDF_ORACLES.items():
+        if name == "extract_golden_fixtures":
+            # This one renders constants read from the read-only reference
+            # checkout; on a host without it, omit the single entry instead
+            # of failing the whole oracle surface (its queries() twin is
+            # gated on the same predicate, so the pair drops together).
+            from .sources.golden import reference_available
+
+            if not reference_available():
+                continue
+        out[name] = gen()
+    return out
