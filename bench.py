@@ -56,7 +56,7 @@ BENCH_QUERIES = (
     "stratified_sample",
     "langid_stopwords",
     "similarity_cosine_topk",
-    "similarity_ann_lsh",
+    "similarity_ann_multi_recall",
     "similarity_ann_ivf_indexed",
     "table_extraction",
     "pdf_extraction",

@@ -74,25 +74,44 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
 
 
-def _plane_component(dim_index: Column, plane: int) -> Column:
+def _table_salt(table: int) -> str:
+    """Key prefix for one LSH hash table. Table 0 keeps the original
+    unprefixed ``plane{p}:{i}`` key so single-table signatures (and every
+    oracle derived from them) stay bit-identical; additional tables of the
+    OR-construction salt the key with ``t{table}:``."""
+    return "" if table == 0 else f"t{table}:"
+
+
+def _plane_component(dim_index: Column, plane: int, table: int = 0) -> Column:
     """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
     md5-derived, reproducible in any engine."""
     h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"plane{plane}:"), dim_index.cast("string"))), 1, 8),
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{_table_salt(table)}plane{plane}:"),
+                    dim_index.cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
         16,
         10,
     ).cast("double")
     return h / F.lit(4294967296.0) - 0.5
 
 
-def lsh_signature(vec: Column, planes: int = 8) -> Column:
-    """Random-hyperplane sign signature packed into an int."""
+def lsh_signature(vec: Column, planes: int = 8, table: int = 0) -> Column:
+    """Random-hyperplane sign signature packed into an int. ``table``
+    selects an independent plane family (OR-construction); table 0 is the
+    original family."""
     dims = F.transform(vec, lambda x, i: F.struct(x.alias("v"), i.alias("i")))
 
     def _projector(plane: int):
         # NB: a plain `lambda acc, d, p=p:` would read as a 3-arg lambda to
         # PySpark's arity inspection; close over the plane index instead.
-        return lambda acc, d: acc + d["v"] * _plane_component(d["i"], plane)
+        return lambda acc, d: acc + d["v"] * _plane_component(d["i"], plane, table)
 
     sig = F.lit(0)
     for p in range(planes):
@@ -392,18 +411,19 @@ def write_lsh_index(
     with_sig.write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
 
 
-def lsh_signature_py(vec, planes: int = 8) -> int:
+def lsh_signature_py(vec, planes: int = 8, table: int = 0) -> int:
     """Driver-side twin of :func:`lsh_signature` — bit-identical: the same
     md5-derived plane components and the same left-fold summation order as
     Spark's ``aggregate`` (element order, scalar adds), so the float
     rounding (and thus every sign) matches exactly."""
     import hashlib
 
+    salt = _table_salt(table)
     sig = 0
     for p in range(planes):
         proj = 0.0
         for i, v in enumerate(vec):
-            h = int(hashlib.md5(f"plane{p}:{i}".encode()).hexdigest()[:8], 16)
+            h = int(hashlib.md5(f"{salt}plane{p}:{i}".encode()).hexdigest()[:8], 16)
             proj += float(v) * (h / 4294967296.0 - 0.5)
         if proj > 0:
             sig += 1 << p
@@ -494,10 +514,26 @@ def ann_topk_lsh_batch(
     hamming: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tables: int = 1,
 ) -> DataFrame:
     """Batch multi-probe LSH ANN: one equi-join routes every query to its
     probe buckets — |queries|·Σ C(planes,i) broadcast probe rows, no
-    driver loop. Output: (query_id, id, cosine_sim, rank) per query."""
+    driver loop. Output: (query_id, id, cosine_sim, rank) per query.
+
+    ``tables > 1`` is the OR-construction (Indyk-Motwani: L independent
+    hash tables, a point is a candidate if ANY table co-buckets it with
+    the query): per-table collision probability p means the multi-table
+    miss rate is (1-p)^L, which is what rescues recall in the
+    near-orthogonal regime where a single sign-LSH table's p per true
+    neighbour decays toward the random baseline (the honestly-pinned
+    0.3-0.6 recall of the single-table driver row). Join key becomes
+    (table, bucket) — still an equi-join with broadcast probes — and a
+    candidate found by several tables is deduped per (query, id) BEFORE
+    the exact cosine so the re-rank cost is |union|, not Σ per-table."""
+    if tables > 1:
+        return _ann_topk_lsh_batch_tables(
+            embeddings, queries, k, planes, hamming, tables, id_col, vec_col
+        )
     with_sig = embeddings.withColumn(
         "lsh_bucket", lsh_signature(F.col(vec_col).cast("array<double>"), planes)
     )
@@ -526,6 +562,75 @@ def ann_topk_lsh_batch(
                 cosine(F.col(vec_col).cast("array<double>"), F.col("query_vec")), 6
             ).cast("double").alias("cosine_sim"),
         )
+    )
+    return _topk_per_query(scored, k, id_col)
+
+
+def _ann_topk_lsh_batch_tables(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    planes: int,
+    hamming: int,
+    tables: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """OR-construction body of :func:`ann_topk_lsh_batch` (tables > 1).
+
+    Both sides explode to one row per hash table — exactly the classic
+    L-table LSH layout expressed relationally — and meet on the composite
+    (table, bucket) equi-join key. At scale each table's rows are just a
+    partition stripe of a table written ``partitionBy(lsh_table,
+    lsh_bucket)``; nothing here is driver-bound."""
+    vec_d = F.col(vec_col).cast("array<double>")
+    sigs = F.array(*[lsh_signature(vec_d, planes, table=t) for t in range(tables)])
+    corpus = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(sigs).alias("lsh_table", "lsh_bucket"),
+    )
+    masks = _probe_masks(planes, hamming)
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            vec_d.alias("query_vec"),
+            F.posexplode(
+                F.array(
+                    *[lsh_signature(vec_d, planes, table=t) for t in range(tables)]
+                )
+            ).alias("lsh_table", "query_bucket"),
+        )
+        .select(
+            "query_id",
+            "query_vec",
+            "lsh_table",
+            F.explode(
+                F.array(
+                    *[F.col("query_bucket").bitwiseXOR(F.lit(m)) for m in masks]
+                )
+            ).alias("probe_bucket"),
+        )
+    )
+    candidates = (
+        corpus.join(
+            F.broadcast(probes),
+            (corpus["lsh_table"] == probes["lsh_table"])
+            & (F.col("lsh_bucket") == F.col("probe_bucket")),
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        # A point two tables both retrieve must be scored once, not twice:
+        # dedupe on the (query, id) pair before the exact cosine. The kept
+        # row is arbitrary but (vec, query_vec) are functionally dependent
+        # on the ids, so every duplicate carries identical vectors.
+        .dropDuplicates(["query_id", id_col])
+    )
+    scored = candidates.select(
+        "query_id",
+        id_col,
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), F.col("query_vec")), 6
+        ).cast("double").alias("cosine_sim"),
     )
     return _topk_per_query(scored, k, id_col)
 

@@ -1013,13 +1013,17 @@ def udf_oracle_pdf_extraction() -> str:
   FROM documents"""
 
 
-def _duck_lsh_bucket(planes: int) -> str:
+def _duck_lsh_bucket(planes: int, table: int = 0) -> str:
     """The md5-derived hyperplane sign signature (``_plane_component`` /
-    ``lsh_signature``) as a DuckDB expression over a DOUBLE[] column v."""
+    ``lsh_signature``) as a DuckDB expression over a DOUBLE[] column v.
+    ``table`` selects the OR-construction plane family: table 0 keeps the
+    original unsalted ``plane{p}:{i}`` key, others prefix ``t{table}:``
+    (``similarity._table_salt``)."""
+    salt = "" if table == 0 else f"t{table}:"
 
     def proj(p: int) -> str:
         plane = (
-            f"(CAST(concat('0x', substr(md5('plane{p}:' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)"
+            f"(CAST(concat('0x', substr(md5('{salt}plane{p}:' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)"
             " / 4294967296.0 - 0.5)"
         )
         return f"list_sum(list_transform(range(0, len(v)), i -> v[i+1] * {plane}))"
@@ -1117,6 +1121,59 @@ def udf_oracle_similarity_ann_batch_recall(
       SELECT query_id, vec_id,
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
       FROM scored WHERE ham <= {hamming}) t WHERE rnk <= {k}),
+  o AS (
+    SELECT b.query_id, COUNT(a.vec_id) AS n
+    FROM brute b LEFT JOIN approx a USING (query_id, vec_id)
+    GROUP BY b.query_id)
+  SELECT q.query_id,
+         CAST(COALESCE(o.n, 0) AS INT) AS overlap,
+         CAST(ROUND(COALESCE(o.n, 0) / {float(k)}, 6) AS DOUBLE) AS recall_at_k
+  FROM q LEFT JOIN o USING (query_id)
+  ORDER BY q.query_id"""
+
+
+def udf_oracle_similarity_ann_multi_recall(
+    planes: int = 6, k: int = 10, hamming: int = 1, tables: int = 3,
+    query_stride: int = 100,
+) -> str:
+    """Per-query recall of the OR-construction LSH ANN
+    (``ann_topk_lsh_batch(tables=L)``): a corpus row is a candidate when
+    ANY of the L independent plane families co-buckets it with the query
+    within the Hamming probe radius — rendered as an OR over per-table
+    ``bit_count(xor(...)) <= hamming`` terms, each table's bucket derived
+    from its salted md5 plane keys. Everything else (exact cosine, window
+    rank, overlap vs brute force) is the single-table batch-recall oracle
+    unchanged."""
+    buckets = [_duck_lsh_bucket(planes, table=t) for t in range(tables)]
+    sig_cols = ",\n         ".join(
+        f"{b} AS b{t}" for t, b in enumerate(buckets)
+    )
+    q_cols = ", ".join(f"b{t} AS qb{t}" for t in range(tables))
+    cand = " OR ".join(
+        f"bit_count(xor(CAST(s.b{t} AS BIGINT), CAST(q.qb{t} AS BIGINT))) <= {hamming}"
+        for t in range(tables)
+    )
+    return f"""
+  WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  sig AS (SELECT vec_id, v,
+         {sig_cols}
+         FROM vecs),
+  q AS (SELECT vec_id AS query_id, v AS qv, {q_cols} FROM sig
+        WHERE vec_id % {query_stride} = 0),
+  scored AS (
+    SELECT q.query_id, s.vec_id, {_DUCK_COS} AS cos,
+           ({cand}) AS cand
+    FROM sig s CROSS JOIN q WHERE s.vec_id != q.query_id),
+  brute AS (
+    SELECT query_id, vec_id FROM (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM scored) t WHERE rnk <= {k}),
+  approx AS (
+    SELECT query_id, vec_id FROM (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+      FROM scored WHERE cand) t WHERE rnk <= {k}),
   o AS (
     SELECT b.query_id, COUNT(a.vec_id) AS n
     FROM brute b LEFT JOIN approx a USING (query_id, vec_id)
@@ -1825,6 +1882,7 @@ UDF_ORACLES = {
     "similarity_ann_lsh": udf_oracle_similarity_ann_lsh,
     "similarity_ann_lsh_recall": udf_oracle_similarity_ann_lsh_recall,
     "similarity_ann_batch_recall": udf_oracle_similarity_ann_batch_recall,
+    "similarity_ann_multi_recall": udf_oracle_similarity_ann_multi_recall,
     "similarity_ann_ivf_batch_recall": udf_oracle_similarity_ann_ivf_batch_recall,
     "similarity_ann_ivf": udf_oracle_similarity_ann_ivf,
     # Materialized-index twins (VERDICT r3 next-round #4): the partition-

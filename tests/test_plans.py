@@ -263,6 +263,7 @@ def test_batch_ann_plans_stay_equi_join(spark):
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     for df in (
         ann_topk_lsh_batch(emb, queries, k=5, planes=6, hamming=2),
+        ann_topk_lsh_batch(emb, queries, k=5, planes=6, hamming=1, tables=3),
         ann_topk_ivf_batch(emb, queries, k=5, n_centroids=8, n_probe=2),
     ):
         plan = _formatted(df)
