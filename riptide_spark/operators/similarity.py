@@ -398,17 +398,33 @@ def write_lsh_index(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tables: int = 1,
 ) -> None:
     """Materialize the LSH layout: write the table PARTITIONED BY the
     hyperplane signature bucket. Each query then reads only its multi-probe
     bucket set (Σ C(planes,i), i ≤ hamming partitions of 2^planes) through
     partition pruning — the LSH twin of ``write_ivf_index``. No routing
     table needed: the planes are md5-derived from the dimension index, so
-    the query signature is recomputable anywhere."""
-    with_sig = embeddings.withColumn(
-        "lsh_bucket", lsh_signature(F.col(vec_col).cast("array<double>"), planes)
+    the query signature is recomputable anywhere.
+
+    ``tables > 1`` materializes the OR-construction: each row is written
+    once per plane family under ``partitionBy(lsh_table, lsh_bucket)`` —
+    L× storage (the classic L-table LSH trade), but a query still scans
+    only its probe stripes of each table."""
+    vec_d = F.col(vec_col).cast("array<double>")
+    if tables == 1:
+        with_sig = embeddings.withColumn("lsh_bucket", lsh_signature(vec_d, planes))
+        with_sig.write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
+        return
+    exploded = embeddings.select(
+        "*",
+        F.posexplode(
+            F.array(*[lsh_signature(vec_d, planes, table=t) for t in range(tables)])
+        ).alias("lsh_table", "lsh_bucket"),
     )
-    with_sig.write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
+    exploded.write.mode("overwrite").partitionBy("lsh_table", "lsh_bucket").parquet(
+        path
+    )
 
 
 def lsh_signature_py(vec, planes: int = 8, table: int = 0) -> int:
@@ -439,19 +455,37 @@ def ann_topk_lsh_index(
     hamming: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tables: int = 1,
 ) -> DataFrame:
     """Query a written LSH index: compute the query signature driver-side
     (tiny), expand the Hamming-radius probe set, and scan ONLY those
     bucket partitions (partition pruning on the lsh_bucket IN filter)
-    before the exact cosine re-rank."""
+    before the exact cosine re-rank.
+
+    ``tables > 1`` queries an OR-construction index (written with
+    ``write_lsh_index(tables=L)``): the probe predicate is an OR of
+    per-table (lsh_table = t AND lsh_bucket IN probes_t) conjunctions —
+    still a pure partition-column predicate, so the scan prunes to the
+    probe stripes of each table — and a point retrieved by several tables
+    is deduped on id before the exact re-rank."""
     q = [float(x) for x in query_vec]
-    sig = lsh_signature_py(q, planes)
-    probes = [sig ^ m for m in _probe_masks(planes, hamming)]
     listed = spark.read.parquet(path)
     qlit = F.array(*[F.lit(x) for x in q])
+    masks = _probe_masks(planes, hamming)
+    if tables == 1:
+        sig = lsh_signature_py(q, planes)
+        pruned = listed.filter(F.col("lsh_bucket").isin([sig ^ m for m in masks]))
+    else:
+        pred = None
+        for t in range(tables):
+            sig = lsh_signature_py(q, planes, table=t)
+            term = (F.col("lsh_table") == t) & F.col("lsh_bucket").isin(
+                [sig ^ m for m in masks]
+            )
+            pred = term if pred is None else (pred | term)
+        pruned = listed.filter(pred).dropDuplicates([id_col])
     return (
-        listed.filter(F.col("lsh_bucket").isin(probes))
-        .select(
+        pruned.select(
             id_col,
             F.round(
                 cosine(F.col(vec_col).cast("array<double>"), qlit), 6

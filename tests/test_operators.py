@@ -727,6 +727,63 @@ def test_lsh_index_partition_pruning(spark, tmp_path):
     assert got[: len(mem)] == mem
 
 
+def test_multi_table_lsh_index_prunes_per_table_stripes(spark, tmp_path):
+    """The OR-construction index (partitionBy(lsh_table, lsh_bucket)) must
+    answer through partition pruning — the probe predicate is an OR of
+    per-table (lsh_table, lsh_bucket IN ...) conjunctions over partition
+    columns only — and must return exactly the rows of the in-memory
+    OR-construction batch path for the same query."""
+    from pyspark.sql import functions as F
+
+    from riptide_spark.operators.similarity import (
+        _ann_topk_lsh_batch_tables,
+        ann_topk_lsh_index,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "lsh_multi_index")
+    tables, planes, hamming, k = 3, 6, 1, 10
+    write_lsh_index(emb, path, planes=planes, tables=tables)
+
+    # The layout is one directory stripe per (table, bucket).
+    import os
+
+    stripes = [d for d in os.listdir(path) if d.startswith("lsh_table=")]
+    assert len(stripes) == tables, stripes
+
+    qvec = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    indexed = ann_topk_lsh_index(
+        spark, path, qvec, k=k + 1, planes=planes, hamming=hamming, tables=tables
+    )
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    clauses = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("lsh_table" in c and "lsh_bucket" in c for c in clauses), plan[:800]
+
+    got = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in indexed.collect()
+        if r["vec_id"] != 0
+    ][:k]
+    mem = [
+        (r["vec_id"], r["cosine_sim"])
+        for r in _ann_topk_lsh_batch_tables(
+            emb,
+            emb.filter(F.col("vec_id") == 0),
+            k + 1,
+            planes,
+            hamming,
+            tables,
+            "vec_id",
+            "embedding",
+        ).collect()
+        if r["vec_id"] != 0
+    ][:k]
+    assert got == mem
+
+
 def test_simhash_near_pairs_operator_matches_sql(spark, docs):
     """The banded SimHash near-pair operator must produce exactly the rows
     of the dialect-template SQL (and find every injected exact duplicate
