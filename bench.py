@@ -324,6 +324,9 @@ def run_scale_dial(cpus: int, sfs=(0.1, 1.0)) -> dict:
                 simhash_near_pairs(corpus),
                 curation_verdicts(corpus),
                 ann_topk_lsh_batch(emb, ann_queries, k=10, planes=8, hamming=2),
+                ann_topk_lsh_batch(
+                    emb, ann_queries, k=10, planes=8, hamming=1, tables=3
+                ),
             ]
         )
 
@@ -361,6 +364,22 @@ def run_scale_dial(cpus: int, sfs=(0.1, 1.0)) -> dict:
             f"[scale sf{sf}] ann_lsh_batch: {n_ann} rows "
             f"({n_vecs} vecs, {ann_queries.count()} queries) in "
             f"{timings['similarity_ann_lsh_batch']}s"
+        )
+
+        # The OR-construction twin at a comparable candidate budget
+        # (3 tables × Hamming-1 = 27/256 buckets vs 37/256 above): the
+        # growth axis must stay ~linear even though both join sides
+        # explode ×3 onto the composite (table, bucket) key.
+        t0 = time.perf_counter()
+        n_ann3 = ann_topk_lsh_batch(
+            emb, ann_queries, k=10, planes=8, hamming=1, tables=3
+        ).count()
+        timings["similarity_ann_lsh_batch_tables3"] = round(
+            time.perf_counter() - t0, 3
+        )
+        log(
+            f"[scale sf{sf}] ann_lsh_batch_tables3: {n_ann3} rows in "
+            f"{timings['similarity_ann_lsh_batch_tables3']}s"
         )
 
         per_sf[str(sf)] = {
