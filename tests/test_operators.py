@@ -321,6 +321,47 @@ def test_connected_components_paths_agree(spark):
     assert fast == dist
 
 
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A duplicate chain with diameter ≫ max_iter converges on the
+    distributed path: pointer jumping spreads the minimum in
+    O(log diameter) rounds, so the 2000-node path graph (diameter 1999)
+    fits easily in a 20-round budget that pure one-hop propagation would
+    blow through (it needed 1999 rounds and raised)."""
+    from riptide_spark.operators.dedup import connected_components
+
+    n = 2000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    ).coalesce(4)
+    want = sorted((i, 0) for i in range(n))
+    dist = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(
+            chain, driver_edge_threshold=0, max_iter=20
+        ).collect()
+    )
+    assert dist == want
+    fast = sorted(
+        (r["node"], r["component"]) for r in connected_components(chain).collect()
+    )
+    assert fast == want
+
+
+def test_connected_components_nonconvergence_backstop_raises(spark):
+    """The loud backstop survives: a budget too small for even pointer
+    jumping (diameter 7 > 2^1 hops reachable in one round) raises instead
+    of returning a silently-split component."""
+    import pytest
+
+    from riptide_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, driver_edge_threshold=0, max_iter=1)
+
+
 def test_minhash_bucket_size_cap_drops_flood_buckets(spark):
     from riptide_spark.operators.dedup import (
         DEFAULT_BUCKET_CAP,
