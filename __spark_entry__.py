@@ -584,14 +584,19 @@ def _assert_partition_pruned(df: DataFrame, partition_col: str) -> None:
 
 
 def _index_path(kind: str, sf_dir: str) -> str:
-    """Fixed scratch path per (kind, scale factor), reused across
-    invocations — the index writers run mode("overwrite"), so repeated
-    correctness/bench passes rewrite in place instead of leaking a fresh
-    mkdtemp copy of the embeddings table per call."""
+    """Scratch path per (kind, scale factor, PID), reused across
+    invocations WITHIN a process — the index writers run
+    mode("overwrite"), so repeated correctness/bench passes rewrite in
+    place instead of leaking a fresh mkdtemp copy of the embeddings table
+    per call. The PID component keeps two concurrent runs (e.g. bench +
+    a correctness pass on the same sf) from racing on overwrite-vs-scan
+    of a half-rewritten partition layout (ADVICE r4 #2)."""
     import tempfile
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(tempfile.gettempdir(), f"riptide_{kind}_index_{tag}", "idx")
+    return os.path.join(
+        tempfile.gettempdir(), f"riptide_{kind}_index_{tag}_p{os.getpid()}", "idx"
+    )
 
 
 def _query_vec(emb: DataFrame, query_id: int = 0):

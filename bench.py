@@ -32,6 +32,7 @@ import subprocess
 import sys
 import tempfile
 import time
+import uuid
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -251,7 +252,12 @@ def run_scale_dial(cpus: int, sfs=(0.1, 1.0)) -> dict:
             ngram_jaccard_pairs,
             simhash_near_pairs,
         )
-        from riptide_spark.operators.similarity import ann_topk_lsh_batch
+        from riptide_spark.operators.similarity import (
+            ann_topk_ivf_batch,
+            ann_topk_lsh_batch,
+            ivf_n_centroids,
+            train_ivf_centroids,
+        )
         from riptide_spark.plans.curation import curation_verdicts
         from riptide_spark.plans.pipeline import (
             ExtractionJobConfig,
@@ -382,6 +388,32 @@ def run_scale_dial(cpus: int, sfs=(0.1, 1.0)) -> dict:
             f"{timings['similarity_ann_lsh_batch_tables3']}s"
         )
 
+        # Batch IVF with √N centroids (128 at sf0.1, 256 at sf1 — both
+        # force the executor-side Lloyd trainer: training set = 256
+        # samples/centroid ≫ the 4096-row driver-collect cap). Timed in
+        # two cells so quantizer training (one-off, amortized over every
+        # query batch at production scale) and per-batch query cost are
+        # graded separately.
+        n_lists = ivf_n_centroids(n_vecs)
+        t0 = time.perf_counter()
+        ivf_centroids = train_ivf_centroids(emb, n_centroids=n_lists)
+        timings["ivf_train_sqrtN"] = round(time.perf_counter() - t0, 3)
+        log(
+            f"[scale sf{sf}] ivf_train: {n_lists} centroids over {n_vecs} vecs "
+            f"(executor path) in {timings['ivf_train_sqrtN']}s"
+        )
+        ivf_q = ann_topk_ivf_batch(
+            emb, ann_queries, k=10, n_probe=8, centroids=ivf_centroids
+        )
+        gates = _assert_plan_gates([ivf_q]) and gates
+        t0 = time.perf_counter()
+        n_ivf = ivf_q.count()
+        timings["similarity_ann_ivf_batch"] = round(time.perf_counter() - t0, 3)
+        log(
+            f"[scale sf{sf}] ann_ivf_batch: {n_ivf} rows "
+            f"({n_lists} lists, 8 probes) in {timings['similarity_ann_ivf_batch']}s"
+        )
+
         per_sf[str(sf)] = {
             "docs": result.rows_written,
             "dedup_corpus_rows": corpus.count(),
@@ -401,6 +433,7 @@ def run_scale_dial(cpus: int, sfs=(0.1, 1.0)) -> dict:
         "value": round(max(growth.values()), 3),
         "unit": "ratio",
         "cpus": cpus,
+        "run_id": uuid.uuid4().hex,  # dedup identity in merge_scale_dial_record
         "per_sf": per_sf,
         "growth": growth,
     }
@@ -437,11 +470,15 @@ def merge_scale_dial_record(run: dict) -> dict:
                 pool.extend(prior.get("runs", [prior]))
             except (OSError, json.JSONDecodeError):
                 continue
-    # Dedup (r04's record embeds r03's runs after the first merge).
+    # Dedup (r04's record embeds r03's runs after the first merge). Runs
+    # carry a unique run_id stamp; dedup on that so two genuinely distinct
+    # runs whose rounded timings tie are both counted (ADVICE r4 #3).
+    # Legacy runs from prior-round record files lack the stamp and fall
+    # back to payload identity (their timings ARE their identity there).
     seen: set[str] = set()
     uniq = []
     for r in pool:
-        key = json.dumps(r.get("per_sf", {}), sort_keys=True)
+        key = r.get("run_id") or json.dumps(r.get("per_sf", {}), sort_keys=True)
         if key not in seen:
             seen.add(key)
             uniq.append(r)

@@ -68,19 +68,31 @@ def _extract_single_table(table: dom.Element) -> TableData:
     if caption is not None:
         data.caption = _text(caption)
 
-    # Headers: thead th; the first-child-tr th arm is a FALLBACK taken
-    # only when the table has no thead (extract_multi_level_headers,
-    # extractor.rs:431-482 — with a thead present the reference never
-    # consults other rows, so a tbody's leading th row stays a body row).
-    headers: list[dom.Element] = list(dom.query_selector_all(table, "thead th"))
-    if not headers:
-        seen_headers: set[int] = set()  # pos is subtree-relative; use identity
-        for tr in dom.query_selector_all(table, "tr"):
-            if tr.parent is not None and _first_child_element(tr.parent) is tr:
-                for th in dom.query_selector_all(tr, "th"):
-                    if id(th) not in seen_headers:
-                        headers.append(th)
-                        seen_headers.add(id(th))
+    # Headers mirror extract_multi_level_headers (extractor.rs:431-482):
+    # with ANY `thead tr` present the reference never consults other rows
+    # (so a tbody's leading th row stays a body row), takes ALL cells of
+    # the thead row — td cells included — and for a multi-row thead the
+    # LAST row becomes the main headers (build_hierarchical_header_
+    # structure, extractor.rs:503-512; earlier rows are sub-header levels
+    # this flat repr drops). Only a thead-less table falls back to
+    # extract_fallback_headers (extractor.rs:464-482): the FIRST
+    # first-child <tr> in document order, all of whose cells become
+    # headers iff it bears at least one th.
+    headers: list[dom.Element] = []
+    thead_rows = list(dom.query_selector_all(table, "thead tr"))
+    if thead_rows:
+        headers = list(dom.query_selector_all(thead_rows[-1], "td, th"))
+    else:
+        first_row = next(
+            (
+                tr
+                for tr in dom.query_selector_all(table, "tr")
+                if tr.parent is not None and _first_child_element(tr.parent) is tr
+            ),
+            None,
+        )
+        if first_row is not None and dom.query_selector(first_row, "th") is not None:
+            headers = list(dom.query_selector_all(first_row, "td, th"))
     # Header colspan expansion: a th spanning c columns labels c columns.
     data.headers = []
     for h in headers:

@@ -120,30 +120,67 @@ def lsh_signature(vec: Column, planes: int = 8, table: int = 0) -> Column:
     return sig
 
 
+def ivf_n_centroids(total_rows: int, lo: int = 8, hi: int = 65536) -> int:
+    """The FAISS sizing rule for IVF list count: n_centroids ≈ √N, rounded
+    to a power of two (stable partition counts across small corpus drift),
+    clamped to [lo, hi]. 100 TB ≈ 10^11 docs → 65536 lists; the sf0.01
+    test table (600 vecs) → 32."""
+    import math
+
+    if total_rows <= 1:
+        return lo
+    target = max(lo, min(hi, int(round(math.sqrt(total_rows)))))
+    return max(lo, min(hi, 1 << int(round(math.log2(target)))))
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     max_sample: int = 4096,
     iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    samples_per_centroid: int = 256,
 ):
-    """Train an IVF coarse quantizer: driver-side k-means on a bounded,
+    """Train an IVF coarse quantizer with Lloyd k-means on a bounded,
     deterministic sample.
 
     IVF training is a small-sample operation even at 100 TB — FAISS trains
     IVF lists on ~30-256 vectors per centroid, not the full corpus. The
     sample is taken by id stride (``vec_id % step == 0``), not ``rand()``,
-    so every run / retry / engine produces identical centroids. k-means
-    init is the first ``n_centroids`` sample rows in id order; Lloyd
-    iterations are a fixed count (no convergence-dependent early exit), so
-    the result is a pure function of the table contents.
+    so every run / retry / engine produces identical centroids, and Lloyd
+    iterations are a fixed count (no convergence-dependent early exit).
+
+    Two execution paths, routed by the training-set size the requested
+    quantizer actually needs (``n_centroids × samples_per_centroid``):
+
+    * **driver path** (needs ≤ ``max_sample``): collect the sample, NumPy
+      Lloyd on the driver. k-means init is the first ``n_centroids``
+      sample rows in id order. Bit-exact pure function of table contents.
+    * **executor path** (needs > ``max_sample``): the sample stays
+      distributed — each Lloyd round is one ``mapInPandas`` pass emitting
+      per-partition per-list partial (Σvec, count), reduced by a tiny
+      ``groupBy``; only the n_centroids × dim centroid matrix ever reaches
+      the driver. This is what √N centroids at corpus scale requires:
+      n_centroids = 65536 wants a ~16M-row training set, far beyond any
+      sane ``collect()``. Centroid coordinates are rounded to 9 decimals
+      each round to absorb float merge-order noise, so results are stable
+      across shuffle schedules.
+
+    ``n_centroids="auto"`` applies the √N rule (``ivf_n_centroids``).
 
     Returns a ``numpy.ndarray`` of shape (n_centroids, dim), L2-normalized
     (cosine IVF assigns by max dot product with normalized centroids).
     """
 
     total = embeddings.count()
+    if n_centroids == "auto":
+        n_centroids = ivf_n_centroids(total)
+    needed = n_centroids * samples_per_centroid
+    if needed > max_sample:
+        return _train_ivf_distributed(
+            embeddings, n_centroids, needed, iters, id_col, vec_col, total
+        )
     step = max(total // max_sample, 1)
     sample = (
         embeddings.filter(F.col(id_col) % step == 0)
@@ -171,6 +208,118 @@ def train_ivf_centroids(
         cn = np.linalg.norm(centroids, axis=1, keepdims=True)
         cn[cn == 0] = 1.0
         centroids = centroids / cn
+    return centroids
+
+
+def _train_ivf_distributed(
+    embeddings: DataFrame,
+    n_centroids: int,
+    sample_target: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    total: int,
+):
+    """Executor-side Lloyd: the training sample never leaves the cluster.
+
+    Per round, ONE ``mapInPandas`` pass over the (localCheckpointed,
+    id-stride) sample computes per-partition per-list partial sums — at
+    most n_centroids rows per partition, combined map-side exactly like a
+    partial aggregate — and a ``posexplode``+``groupBy`` reduces them to
+    the n_centroids × dim new-centroid matrix. Driver traffic per round is
+    therefore exactly one centroid matrix, independent of sample size;
+    n_centroids = 65536 over a 16M-row training set moves ~64 MB/round.
+
+    Init: one deterministic vector per hash bucket
+    (``min_by(vec, id) GROUP BY xxhash64(id) % n_centroids``) — spreads
+    seeds across the sample without a global sort. Lists that go empty
+    during an iteration keep their previous centroid (standard Lloyd
+    degeneracy handling, same as the driver path)."""
+    from pyspark.sql import types as T
+
+    sample = (
+        embeddings.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .filter(
+            (F.col("_id").isNotNull())
+            & (F.col("_id") % max(total // sample_target, 1) == 0)
+        )
+        .localCheckpoint()
+    )
+    n_sample = sample.count()
+    if n_sample == 0:
+        raise ValueError("no vectors to train IVF centroids on")
+    n_centroids = min(n_centroids, n_sample)
+
+    init_rows = (
+        sample.groupBy(F.pmod(F.xxhash64("_id"), F.lit(n_centroids)).alias("b"))
+        .agg(F.min_by("_v", "_id").alias("v"))
+        .orderBy("b")
+        .collect()
+    )
+    x0 = np.asarray([r["v"] for r in init_rows], dtype=np.float64)
+    norms = np.linalg.norm(x0, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    centroids = np.round(x0 / norms, 9)
+    dim = centroids.shape[1]
+
+    partial_schema = T.StructType(
+        [
+            T.StructField("list", T.IntegerType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("vsum", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    for _ in range(iters):
+        cmat = centroids  # closure-broadcast: tiny vs the sample
+
+        def part_sums(batches, _c=cmat, _dim=dim):
+            for pdf in batches:
+                vs = pdf["_v"]
+                ok = vs.map(lambda v: v is not None and len(v) == _dim)
+                if not ok.any():
+                    continue
+                x = np.asarray(list(vs[ok]), dtype=np.float64)
+                nr = np.linalg.norm(x, axis=1, keepdims=True)
+                nr[nr == 0] = 1.0
+                xn = x / nr
+                assign = np.argmax(xn @ _c.T, axis=1)
+                lists = np.unique(assign)
+                yield pd.DataFrame(
+                    {
+                        "list": lists.astype("int32"),
+                        "cnt": [int((assign == c).sum()) for c in lists],
+                        "vsum": [xn[assign == c].sum(axis=0).tolist() for c in lists],
+                    }
+                )
+
+        partials = sample.mapInPandas(part_sums, schema=partial_schema)
+        stats = (
+            partials.select(
+                "list", "cnt", F.posexplode("vsum").alias("pos", "val")
+            )
+            .groupBy("list", "pos")
+            .agg(
+                F.sum("val").alias("s"),
+                # cnt repeats per pos within a partial; take it once.
+                F.sum(F.when(F.col("pos") == 0, F.col("cnt"))).alias("n"),
+            )
+            .collect()
+        )
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(centroids.shape[0], dtype=np.int64)
+        for r in stats:
+            sums[r["list"], r["pos"]] = r["s"]
+            if r["pos"] == 0 and r["n"] is not None:
+                counts[r["list"]] = r["n"]
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        cn = np.linalg.norm(centroids, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        centroids = np.round(centroids / cn, 9)
     return centroids
 
 
@@ -214,10 +363,11 @@ def ann_topk_ivf(
     embeddings: DataFrame,
     query_id: int,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """IVF ANN: score only rows whose inverted list is among the query's
     ``n_probe`` nearest centroids, exact cosine re-rank inside.
@@ -225,12 +375,14 @@ def ann_topk_ivf(
     At scale: train once, write the table partitioned/bucketed by
     ``ivf_list``; each query touches n_probe/n_centroids of the data via
     partition pruning. This is the classic IVF-Flat layout (FAISS) expressed
-    as Spark partitioning.
+    as Spark partitioning. Pass ``centroids`` to reuse a pre-trained
+    quantizer (e.g. from the executor-side trainer) instead of retraining.
     """
 
-    centroids = train_ivf_centroids(
-        embeddings, n_centroids, id_col=id_col, vec_col=vec_col
-    )
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, id_col=id_col, vec_col=vec_col
+        )
     listed = with_ivf_list(embeddings, centroids, vec_col=vec_col)
 
     qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).collect()
@@ -266,7 +418,7 @@ def ann_topk_ivf(
 def write_ivf_index(
     embeddings: DataFrame,
     path: str,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
@@ -673,7 +825,7 @@ def ann_topk_ivf_batch(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

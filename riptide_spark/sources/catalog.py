@@ -158,6 +158,86 @@ class TableIO:
         manifest = Manifest(run_id=run_id, rows=rows, committed=True, files=files)
         return self._write_manifest(manifest)
 
+    def compact(
+        self,
+        target_partitions: int = 1,
+        partition_by: list[str] | None = None,
+    ) -> Manifest:
+        """Rewrite small data files into ``target_partitions`` larger ones
+        AND commit a superseding manifest, so the resume fast path survives
+        table maintenance (VERDICT r4 #4). This is the Iceberg
+        rewrite-data-files + rewrite-manifests pair the catalog layer
+        stands in for: without it, any file rewrite makes
+        ``ledger_complete()``'s set-equality check (correctly) fail and
+        permanently demotes the resume stat to the done-side count.
+
+        Ordering (every crash window degrades to the slow path, never to
+        wrong data):
+
+        1. write the compacted copy to a scratch dir, count it (the exact
+           row total the superseding manifest needs);
+        2. swap the data dir (rename old away, rename scratch in, drop old);
+        3. commit ONE superseding manifest owning every surviving file;
+        4. remove the superseded run manifests.
+
+        A crash before step 2 leaves the table untouched; between 2 and 4
+        the ledger ≠ disk so ``ledger_complete()`` is False and resume
+        falls back to counting the done side — exact, just slower. Only
+        after step 4 does the fast path re-engage. On a real cluster this
+        whole method is Iceberg's atomic ``rewrite_data_files`` +
+        ``rewrite_manifests`` snapshot commit."""
+        import shutil
+
+        if not self.exists():
+            raise ValueError(f"nothing to compact at {self.data_path}")
+        if partition_by is None:
+            # Preserve the on-disk layout: derive the Hive partition chain
+            # from any data file's directory segments (col=value). Writing
+            # a flat copy into a partitioned table would leave a mixed
+            # layout later appends cannot coexist with.
+            sample = next(iter(self.data_files()), "")
+            partition_by = [
+                seg.split("=", 1)[0]
+                for seg in sample.split(os.sep)[:-1]
+                if "=" in seg
+            ]
+        df = self.read()
+        scratch = self.data_path + f".compact-{uuid.uuid4().hex[:8]}"
+        if partition_by:
+            # One task per partition value → one compacted file per value.
+            writer = (
+                df.repartition(*partition_by)
+                .write.mode("overwrite")
+                .partitionBy(*partition_by)
+            )
+        else:
+            writer = df.coalesce(max(target_partitions, 1)).write.mode("overwrite")
+        writer.parquet(scratch)
+        rows = self.spark.read.parquet(scratch).count()
+
+        old = self.data_path + f".pre-compact-{uuid.uuid4().hex[:8]}"
+        os.rename(self.data_path, old)
+        os.rename(scratch, self.data_path)
+        shutil.rmtree(old)
+
+        superseded = [
+            name
+            for name in os.listdir(self.manifest_dir)
+            if name.endswith(".json")
+        ] if os.path.isdir(self.manifest_dir) else []
+        manifest = Manifest(
+            run_id=f"compact-{uuid.uuid4().hex[:12]}",
+            rows=rows,
+            committed=True,
+            files=self.data_files(),
+        )
+        self._write_manifest(manifest)
+        own = f"run-{manifest.run_id}.json"
+        for name in superseded:
+            if name != own:
+                os.remove(os.path.join(self.manifest_dir, name))
+        return manifest
+
     def _write_manifest(self, manifest: Manifest) -> Manifest:
         os.makedirs(self.manifest_dir, exist_ok=True)
         tmp = os.path.join(self.manifest_dir, f".run-{manifest.run_id}.json.tmp")

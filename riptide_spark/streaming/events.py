@@ -35,9 +35,11 @@ spills to local SSD instead of pressuring the executor heap::
     # optional: bound memory via
     # spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage=true
 
-(Not exercised in this sandbox: the RocksDB provider needs executor
-local disk the local[32] test JVM doesn't isolate; the HDFS-backed
-provider is semantically identical and is what the tests run.)
+Both skew tests in ``tests/test_streaming_events.py`` run twice — once
+on the default HDFS-heap provider, once on RocksDB (the bundled
+rocksdbjni) — asserting identical outputs, the same ≤1-row-per-key state
+bound, and provider engagement via the rocksdb* custom metrics in the
+query progress.
 """
 
 from __future__ import annotations

@@ -180,6 +180,58 @@ def test_ivf_centroids_deterministic(spark, embeddings):
     assert len(a1) == embeddings.count()
 
 
+def test_ivf_n_centroids_sqrt_rule():
+    """√N sizing, power-of-two rounded, clamped: the sf0.01 table (600
+    vecs) gets 32 lists; a 10^11-doc corpus saturates the 65536 cap."""
+    from riptide_spark.operators.similarity import ivf_n_centroids
+
+    assert ivf_n_centroids(0) == 8
+    assert ivf_n_centroids(600) == 32
+    assert ivf_n_centroids(1_000_000) == 1024
+    assert ivf_n_centroids(10**11) == 65536
+
+
+def test_ivf_distributed_training_path(spark, embeddings):
+    """Executor-side Lloyd (forced by requesting a training set larger
+    than the driver-collect cap): unit-norm centroid matrix of the right
+    shape, deterministic across runs, and the trained quantizer still
+    yields exact per-candidate scores + usable recall through the full
+    IVF batch path."""
+    import numpy as np
+
+    from riptide_spark.operators.similarity import (
+        ann_topk_ivf,
+        cosine_topk,
+        train_ivf_centroids,
+        with_ivf_list,
+    )
+
+    # needed = 64 × 256 = 16384 > max_sample 4096 → distributed path.
+    c1 = train_ivf_centroids(embeddings, n_centroids=64, max_sample=4096)
+    c2 = train_ivf_centroids(embeddings, n_centroids=64, max_sample=4096)
+    assert c1.shape[0] <= 64 and c1.shape[1] == 64
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-6)
+    assert np.array_equal(c1, c2)
+    n_lists = c1.shape[0]
+    assigned = with_ivf_list(embeddings, c1)
+    lists = {r["ivf_list"] for r in assigned.select("ivf_list").distinct().collect()}
+    assert all(0 <= l < n_lists for l in lists)
+    # End-to-end: every ANN score from the distributed quantizer is the
+    # exact cosine for that id, and probing recovers most of the true top-k.
+    exact_all = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in cosine_topk(embeddings, 0, k=10_000).collect()
+    }
+    rows = ann_topk_ivf(
+        embeddings, 0, k=10, n_probe=8, centroids=c1
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["cosine_sim"] - exact_all[r["vec_id"]]) < 1e-9
+    exact_top = {r["vec_id"] for r in cosine_topk(embeddings, 0, k=10).collect()}
+    assert len({r["vec_id"] for r in rows} & exact_top) >= 5
+
+
 def test_textops_match_sql(spark, docs):
     from riptide_spark.operators.textops import (
         bpeish_tokens,

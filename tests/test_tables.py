@@ -166,3 +166,60 @@ def test_rowspan_over_empty_physical_row():
     )
     t = extract_tables(html, "all")[0]
     assert t.rows == [["tall", "x"], ["tall"], ["a", "b"]]
+
+
+def test_thead_with_td_only_cells_yields_headers():
+    """ADVICE r4 #1: with ANY `thead tr` present the reference's
+    extract_multi_level_headers takes that row's cells as headers —
+    extract_row_cells selects `td, th` (extractor.rs:300-312), so a
+    td-only thead row still yields headers and the fallback never runs
+    (a tbody's leading th row must stay a body row)."""
+    html = (
+        "<table><thead><tr><td>A</td><td>B</td></tr></thead>"
+        "<tr><th>not-a-header</th><th>either</th></tr>"
+        "<tr><td>a</td><td>b</td></tr></table>"
+    )
+    t = extract_tables(html, "all")[0]
+    assert t.headers == ["A", "B"]
+    # The th row sits at body row_index 0 with headers non-empty → the
+    # extractor.rs:256-263 skip consumes it; only the td row is a body row.
+    assert t.rows == [["a", "b"]]
+
+
+def test_multi_row_thead_last_row_is_main_headers():
+    """build_hierarchical_header_structure (extractor.rs:503-512): the
+    LAST thead row becomes the main headers (most specific level);
+    earlier rows are sub-header levels this flat representation drops."""
+    html = (
+        "<table><thead>"
+        "<tr><th colspan='2'>Group</th></tr>"
+        "<tr><th>K</th><th>V</th></tr>"
+        "</thead><tr><td>a</td><td>1</td></tr></table>"
+    )
+    t = extract_tables(html, "all")[0]
+    assert t.headers == ["K", "V"]
+    assert t.rows == [["a", "1"]]
+
+
+def test_fallback_takes_all_cells_of_first_first_child_tr_only():
+    """extract_fallback_headers (extractor.rs:464-482): no thead → the
+    FIRST `tr:first-child` match in document order decides; when it
+    bears a th, ALL its cells (td included) become headers. A later
+    first-child tr (e.g. a nested table's) is never consulted."""
+    html = (
+        "<table><tr><th>K</th><td>V</td></tr>"
+        "<tr><td>a</td><td>1</td></tr></table>"
+    )
+    t = extract_tables(html, "all")[0]
+    assert t.headers == ["K", "V"]
+    assert t.rows == [["a", "1"]]
+    # First first-child tr is td-only → NO headers, even though a later
+    # row bears th cells (the old fallback scanned every first-child tr).
+    html2 = (
+        "<table><tr><td>x</td><td>y</td></tr>"
+        "<tr><th>late</th><th>th</th></tr>"
+        "<tr><td>a</td><td>b</td></tr></table>"
+    )
+    t2 = extract_tables(html2, "all")[0]
+    assert t2.headers == []
+    assert t2.rows == [["x", "y"], ["late", "th"], ["a", "b"]]
