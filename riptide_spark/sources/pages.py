@@ -392,3 +392,27 @@ def write_pages_by_day(spark, path: str, n: int, seed: int = 42) -> None:
         .partitionBy("warc_day")
         .parquet(path)
     )
+
+
+def write_pages_by_day_bucket(
+    spark, path: str, n: int, seed: int = 42, buckets: int = 8
+) -> None:
+    """The full two-level production layout (SURVEY §4): outer
+    `days(warc_ts)` time partition × inner `bucket(url)` hash partition —
+    Iceberg's `days(warc_ts), bucket(B, url)` spec spelled out as
+    materialized hive columns. A day-scoped re-crawl reads one day
+    directory; a url-keyed lookup or co-located join inside it reads one
+    bucket subdirectory — both predicates land in the SAME scan's
+    PartitionFilters, so the read is O(day/buckets), not O(table)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.partitioning import url_bucket_column
+
+    (
+        pages_dataframe(spark, n, seed)
+        .withColumn("warc_day", F.to_date("warc_ts"))
+        .withColumn("url_bucket", url_bucket_column("url", buckets))
+        .write.mode("overwrite")
+        .partitionBy("warc_day", "url_bucket")
+        .parquet(path)
+    )
