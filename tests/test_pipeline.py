@@ -467,3 +467,41 @@ def test_compaction_preserves_ledger_fast_path(spark, tmp_path):
     assert grow.rows_skipped_resume == 70
     assert grow.rows_written == 10
     assert io.read().count() == 80
+
+
+def test_compaction_crash_window_degrades_to_slow_path(spark, tmp_path):
+    """Every compact() crash window must degrade to the exact-but-slower
+    done-side count, never to wrong data. Simulated window: the
+    superseding manifest is committed but the superseded run manifests
+    were not yet removed (steps 3→4 of TableIO.compact). The ledger then
+    strictly exceeds disk, so ledger_complete() is False, and resume
+    falls back to counting the done table — exact, no duplicates."""
+    import os
+
+    cfg = ExtractionJobConfig(output_path=str(tmp_path / "out"), resume=True)
+    run_extraction_job(spark, _pages_df(spark, n=30), cfg)
+    two = run_extraction_job(spark, _pages_df(spark, n=50), cfg)
+
+    io = TableIO(spark, cfg.output_path)
+    manifest = io.compact()
+    assert io.ledger_complete()
+
+    # Resurrect a superseded manifest: ledger ⊃ disk (its files are gone).
+    from riptide_spark.sources.catalog import Manifest
+
+    io._write_manifest(
+        Manifest(run_id=two.run_id, rows=20, committed=True, files=["gone.parquet"])
+    )
+    assert not io.ledger_complete()
+
+    rerun = run_extraction_job(spark, _pages_df(spark, n=50), cfg)
+    assert rerun.rows_skipped_resume == 50  # done-side count, not 50+20
+    assert rerun.rows_written == 0
+    assert io.read().count() == 50
+
+    # Re-compacting heals the ledger and restores the fast path.
+    io.compact()
+    assert io.ledger_complete()
+    healed = run_extraction_job(spark, _pages_df(spark, n=50), cfg)
+    assert healed.rows_skipped_resume == 50 and healed.rows_written == 0
+    assert manifest.rows == 50
