@@ -475,12 +475,14 @@ def merge_scale_dial_record(run: dict) -> dict:
     # runs whose rounded timings tie are both counted (ADVICE r4 #3).
     # Legacy runs from prior-round record files lack the stamp and fall
     # back to payload identity (their timings ARE their identity there).
-    seen: set[str] = set()
+    def _key(r: dict) -> str:
+        return r.get("run_id") or json.dumps(r.get("per_sf", {}), sort_keys=True)
+
+    seen: set[str] = {_key(run)}  # incoming run supersedes any pooled copy
     uniq = []
     for r in pool:
-        key = r.get("run_id") or json.dumps(r.get("per_sf", {}), sort_keys=True)
-        if key not in seen:
-            seen.add(key)
+        if _key(r) not in seen:
+            seen.add(_key(r))
             uniq.append(r)
     runs = [r for r in uniq if _comparable(r, run)] + [run]
     sfs = list(runs[-1]["per_sf"])
@@ -515,26 +517,98 @@ def merge_scale_dial_record(run: dict) -> dict:
     }
 
 
+def _probe_core_rates(secs: float = 2.0) -> dict[int, float]:
+    """Single-thread compute rate per vCPU (pure Python, no Spark), probed
+    sequentially so cores never contend with each other. The sandbox hosts
+    are sometimes *heterogeneous* — per-core rates spanning 1.3-1.7× on
+    two of five boots — which makes a naive ``taskset -c 0..N-1`` scaling
+    pair measure the hardware spread, not the software: if the low level
+    lands on a fast core and the high level includes slow ones, efficiency
+    is mechanically depressed (and vice versa over-credited)."""
+    probe = (
+        "import time,hashlib\n"
+        f"t0=time.perf_counter();n=0\n"
+        f"while time.perf_counter()-t0<{secs}:\n"
+        "    hashlib.md5((str(n)*50).encode()).hexdigest();n+=1\n"
+        "print(n/(time.perf_counter()-t0))\n"
+    )
+    rates = {}
+    for core in range(os.cpu_count() or 1):
+        out = subprocess.run(
+            ["taskset", "-c", str(core), sys.executable, "-c", probe],
+            capture_output=True,
+            text=True,
+            timeout=60,
+        )
+        try:
+            rates[core] = float(out.stdout.strip())
+        except ValueError:
+            pass
+    return rates
+
+
+def _matched_core_sets(low: int, high: int) -> tuple[str, str, dict]:
+    """Pick rate-matched pinning sets for the two scaling levels.
+
+    The high level gets the ``high`` fastest cores (tightest spread at the
+    top of the distribution); the low level gets the ``low`` cores of that
+    SAME set whose mean rate is closest to the set's mean — so the
+    hardware throughput ratio between the levels is ~1 by construction and
+    the measured ratio is the software's. Falls back to 0..N-1 if probing
+    fails (no taskset)."""
+    try:
+        rates = _probe_core_rates()
+    except (OSError, subprocess.SubprocessError):
+        rates = {}
+    if len(rates) < high:
+        return f"0-{low - 1}", f"0-{high - 1}", {}
+    chosen = sorted(rates, key=rates.get, reverse=True)[:high]
+    mean = sum(rates[c] for c in chosen) / high
+    low_set = sorted(chosen, key=lambda c: abs(rates[c] - mean))[:low]
+    probe_info = {
+        "core_rates": {str(c): round(rates[c]) for c in sorted(rates)},
+        "high_cores": sorted(chosen),
+        "low_cores": sorted(low_set),
+        "spread_all": round(max(rates.values()) / min(rates.values()), 3),
+        "hw_ratio_low_over_high": round(
+            (sum(rates[c] for c in low_set) / low) / mean, 3
+        ),
+    }
+    return (
+        ",".join(str(c) for c in sorted(low_set)),
+        ",".join(str(c) for c in sorted(chosen)),
+        probe_info,
+    )
+
+
 def run_scaling(sf_dir: str, low: int = 1, high: int = 4, reps: int = 2) -> dict:
     """Identical job, identical input, two "cluster sizes", fresh JVMs.
 
-    Each level runs under ``taskset -c 0..N-1`` so JVM + Python workers
-    share exactly N cores — a faithful emulation of an N-core cluster on one
+    Each level runs under ``taskset`` so JVM + Python workers share
+    exactly N cores — a faithful emulation of an N-core cluster on one
     box. Without pinning, a "local[2]" JVM spills its scan/shuffle/write
     threads onto the other 30 cores and over-measures small-N throughput,
     understating scaling. Best-of-``reps`` per level suppresses the
     sandbox host's 5-15% CPU-steal noise. Default pair 1→4 keeps both
-    levels inside the region where this box's per-core throughput is flat
-    AND minimizes exposure to the host's heterogeneous vCPUs (per-core
-    single-thread rates were measured spanning 1.7× on one boot — see
-    BENCH.md — so the fewer cores a level needs, the less a degraded vCPU
-    distorts the ratio). 2→8 gives the same answer on a quiet host
-    (0.828-0.841 recorded) and a meaningless one on a noisy host.
+    levels inside the region where this box's per-core throughput is flat.
+
+    Cores are NOT fixed at 0..N-1: the host's vCPUs are sometimes
+    heterogeneous (1.3-1.7× per-core spread measured on two boots; on the
+    round-5 boot core 0 probed the *fastest* while cores 2-3 ran at ~0.8×,
+    capping a naive 1→4 pair at ~0.88 from hardware alone). Both levels
+    are pinned to rate-matched cores from a fresh probe
+    (``_matched_core_sets``) so the measured ratio isolates the software;
+    the probe data rides along in the payload for audit.
     """
+    low_pin, high_pin, probe_info = (
+        _matched_core_sets(low, high)
+        if os.path.exists("/usr/bin/taskset")
+        else (None, None, {})
+    )
     results = {}
-    for cpus in (low, high):
+    for cpus, pin_spec in ((low, low_pin), (high, high_pin)):
         best = None
-        pin = ["taskset", "-c", f"0-{cpus - 1}"] if os.path.exists("/usr/bin/taskset") else []
+        pin = ["taskset", "-c", pin_spec] if pin_spec else []
         for _ in range(reps):
             proc = subprocess.run(
                 pin
@@ -562,6 +636,7 @@ def run_scaling(sf_dir: str, low: int = 1, high: int = 4, reps: int = 2) -> dict
             f"extract_local{low}": results[low]["queries"]["extract_pipeline"],
             f"extract_local{high}": results[high]["queries"]["extract_pipeline"],
         },
+        "core_matching": probe_info,
     }
 
 
